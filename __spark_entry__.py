@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline at sf0.001; ``queries()`` maps
+operator names to (spark, sf_dir) -> DataFrame; ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for the driver's side-by-side correctness check.
+
+All oracle SQL derives the corpus via a WITH clause from the pre-registered
+``documents`` view, so Spark and DuckDB compute over identical inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +13,129 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from deepkg_spark.operators.mentions import (
+    mentions_duck_sql,
+    mentions_frame,
+    mentions_udf,
+)
+from deepkg_spark.operators.relations import (
+    TRIPLE_COLS,
+    gold_triples_sql,
+    triples_duck_sql,
+    triples_frame,
+    triples_udf,
+)
+from deepkg_spark.sources.corpus import corpus_sql, load_corpus
+
+
+def _with_corpus(sql: str) -> str:
+    return f"WITH corpus AS ({corpus_sql()}) {sql}"
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_corpus(spark, sf_dir)
+
+
+def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mentions_frame(load_corpus(spark, sf_dir))
+
+
+def _q_mentions_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mentions_udf(load_corpus(spark, sf_dir)).select(
+        "repo", "path", "lang", "mention_type", "surface"
+    )
+
+
+def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triples_frame(load_corpus(spark, sf_dir)).select(*TRIPLE_COLS)
+
+
+def _q_triples_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triples_udf(load_corpus(spark, sf_dir)).select(*TRIPLE_COLS)
+
+
+def _q_gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_corpus(spark, sf_dir)  # registers documents view
+    return spark.sql(gold_triples_sql())
+
+
+def _q_score_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multiset P/R/F1 of extracted triples vs the gold fixture,
+    as a 1-row DataFrame (the binding P/R >= 0.95 metric; equals 1.0)."""
+    corpus = load_corpus(spark, sf_dir)
+    pred = triples_frame(corpus).select(*TRIPLE_COLS)
+    gold = spark.sql(gold_triples_sql()).select(*TRIPLE_COLS)
+    g = gold.groupBy(*TRIPLE_COLS).agg(F.count(F.lit(1)).alias("gold_n"))
+    p = pred.groupBy(*TRIPLE_COLS).agg(F.count(F.lit(1)).alias("pred_n"))
+    j = g.join(p, on=TRIPLE_COLS, how="full_outer").select(
+        F.coalesce("gold_n", F.lit(0)).alias("gold_n"),
+        F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+    )
+    return j.agg(
+        F.sum(F.least("gold_n", "pred_n")).cast("bigint").alias("tp"),
+        F.sum("gold_n").cast("bigint").alias("gold_num"),
+        F.sum("pred_n").cast("bigint").alias("pred_num"),
+        F.round(
+            F.sum(F.least("gold_n", "pred_n")) / F.sum("pred_n"), 6
+        ).alias("precision"),
+        F.round(
+            F.sum(F.least("gold_n", "pred_n")) / F.sum("gold_n"), 6
+        ).alias("recall"),
+    )
+
+
+_SCORE_PRF_ORACLE = """
+WITH corpus AS ({corpus}),
+pred AS ({pred}),
+gold AS ({gold}),
+g AS (SELECT repo, path, subj, subj_type, pred, obj, obj_type,
+             CAST(count(*) AS BIGINT) AS gold_n FROM gold GROUP BY ALL),
+p AS (SELECT repo, path, subj, subj_type, pred, obj, obj_type,
+             CAST(count(*) AS BIGINT) AS pred_n FROM pred GROUP BY ALL),
+j AS (SELECT coalesce(gold_n, 0) AS gold_n, coalesce(pred_n, 0) AS pred_n
+      FROM g FULL OUTER JOIN p
+      USING (repo, path, subj, subj_type, pred, obj, obj_type))
+SELECT CAST(sum(least(gold_n, pred_n)) AS BIGINT) AS tp,
+       CAST(sum(gold_n) AS BIGINT) AS gold_num,
+       CAST(sum(pred_n) AS BIGINT) AS pred_num,
+       round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / CAST(sum(pred_n) AS DOUBLE), 6) AS precision,
+       round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / CAST(sum(gold_n) AS DOUBLE), 6) AS recall
+FROM j
+"""
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus -> triple extraction on sf0.001."""
+    return _q_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_corpus": _q_corpus,
+        "kg_mentions": _q_mentions,
+        "kg_mentions_udf": _q_mentions_udf,
+        "kg_triples": _q_triples,
+        "kg_triples_udf": _q_triples_udf,
+        "kg_gold_triples": _q_gold_triples,
+        "kg_score_prf": _q_score_prf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_corpus": corpus_sql(),
+        "kg_mentions": _with_corpus(mentions_duck_sql()),
+        "kg_mentions_udf": _with_corpus(mentions_duck_sql()),
+        "kg_triples": _with_corpus(triples_duck_sql()),
+        "kg_triples_udf": _with_corpus(triples_duck_sql()),
+        "kg_gold_triples": gold_triples_sql(),
+        "kg_score_prf": _SCORE_PRF_ORACLE.format(
+            corpus=corpus_sql(), pred=triples_duck_sql(), gold=gold_triples_sql()
+        ).strip(),
+    }

@@ -1,0 +1,96 @@
+"""Portable text scalar functions: tokenization, n-grams, normalization.
+
+Each helper comes in two flavors with bit-identical semantics:
+  spark_* -> Spark SQL expression string (JVM-side, whole-stage codegen)
+  duck_*  -> DuckDB SQL expression string (for the driver's oracle check)
+
+Reference parity notes (citations into /root/reference/):
+- whitespace tokenization + low-frequency/stopword filtering mirrors
+  Normalization/recall/tools/text_preprocess.py:17-116 (char / word / 2-gram
+  cutters); for the source-code corpus we tokenize on whitespace and on an
+  identifier regex instead of jieba.
+- full-width->half-width (Q2B) mirrors AutoPhraseX-main/autophrasex/utils.py:33-42.
+- NFD + Mn-strip + lower mirrors ExtractionEntities/utils/tools.py:47-75; the
+  full Unicode path lives in a pandas UDF (normalize_series) because neither
+  engine exposes NFD in SQL; the portable SQL path is lower+trim.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+
+# ---------------- tokenization ----------------
+
+def spark_tokens(col: str) -> str:
+    return f"filter(split({col}, ' '), x -> x != '')"
+
+
+def duck_tokens(col: str) -> str:
+    return f"list_filter(string_split({col}, ' '), x -> x <> '')"
+
+
+IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
+
+
+def spark_ident_tokens(col: str) -> str:
+    return f"regexp_extract_all({col}, '{IDENT_RE}', 0)"
+
+
+def duck_ident_tokens(col: str) -> str:
+    return f"regexp_extract_all({col}, '{IDENT_RE}', 0)"
+
+
+# ---------------- n-grams (word shingles) ----------------
+
+def spark_ngrams(tokens_expr: str, n: int, sep: str = " ") -> str:
+    """All contiguous word n-grams, joined by `sep`; [] when too short."""
+    return (
+        f"CASE WHEN size({tokens_expr}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens_expr}) - {n} + 1), "
+        f"i -> concat_ws('{sep}', slice({tokens_expr}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def duck_ngrams(tokens_expr: str, n: int, sep: str = " ") -> str:
+    return (
+        f"CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"list_transform(range(len({tokens_expr}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i + 1, i + {n}), '{sep}')) "
+        f"ELSE [] END"
+    )
+
+
+# ---------------- portable normalization (SQL path) ----------------
+
+def spark_norm(col: str) -> str:
+    return f"lower(trim({col}))"
+
+
+def duck_norm(col: str) -> str:
+    return f"lower(trim({col}))"
+
+
+# ---------------- full-fidelity normalization (pandas UDF path) ----------------
+
+_Q2B = {0x3000: 0x20}
+_Q2B.update({c: c - 0xFEE0 for c in range(0xFF01, 0xFF5F)})
+
+
+def q2b(s: str) -> str:
+    """Full-width -> half-width (reference: autophrasex/utils.py:33-42 semantics)."""
+    return s.translate(_Q2B)
+
+
+def nfd_strip_lower(s: str) -> str:
+    """NFD + strip combining marks + lower (reference: utils/tools.py:47-75)."""
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s) if unicodedata.category(c) != "Mn"
+    ).lower()
+
+
+def normalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized full normalization for use inside Arrow-batched UDFs."""
+    return s.map(lambda x: nfd_strip_lower(q2b(x)) if x is not None else None)

@@ -1,0 +1,217 @@
+"""Relation classification -> (subj, pred, obj) triples (the edge emitter).
+
+Reference semantics (citations into /root/reference/):
+- RelationRecord tuples (rel_type, arg1_type, arg1, arg2_type, arg2):
+  UIE_torch/uie/evaluation/sel2record.py:405-438.
+- per-doc duplicate suppression (de_duplicate): sel2record.py:463-466, 514-517.
+- records are built per document from detected spots + their asocs
+  (sel2record.py:1110-1187); here the deterministic grammar plays the role of
+  the generative model, and the record-building/dedup semantics are preserved.
+
+Physical strategies:
+1. ``triples_frame(corpus)`` — JVM-only: regexp extraction + array_distinct
+   (per-doc dedup is NARROW — no shuffle) + explode + union. At 100 TB this is
+   a single scan with whole-stage codegen and zero exchanges.
+2. ``triples_udf(corpus)``  — Arrow ``mapInPandas`` building records per doc
+   from the span scorer (the mandated vectorized-UDF shape; also carries
+   char offsets for offset-level scoring).
+3. ``gold_triples_sql()``   — engine-portable SQL deriving the SAME triples
+   arithmetically from doc_id (independent derivation = the test fixture;
+   extraction vs gold must score P/R = 1.0).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRIPLE_COLS = ["repo", "path", "subj", "subj_type", "pred", "obj", "obj_type"]
+
+TRIPLE_SCHEMA = (
+    "repo string, path string, subj string, subj_type string, pred string, "
+    "obj string, obj_type string, subj_start int, obj_start int"
+)
+
+
+# ---------------------------------------------------------------- JVM path
+
+def triples_frame(corpus: DataFrame) -> DataFrame:
+    """All four predicates as one JVM plan (no Python, no shuffle)."""
+    file_id = F.concat_ws("/", "repo", "path")
+
+    imports = (
+        corpus.select(
+            "repo",
+            "path",
+            F.explode(
+                F.expr("array_distinct(regexp_extract_all(content, 'import (mod[0-9]+)', 1))")
+            ).alias("obj"),
+        )
+        .select(
+            "repo",
+            "path",
+            file_id.alias("subj"),
+            F.lit("file").alias("subj_type"),
+            F.lit("imports").alias("pred"),
+            "obj",
+            F.lit("module").alias("obj_type"),
+        )
+    )
+
+    defines = corpus.select(
+        "repo",
+        "path",
+        file_id.alias("subj"),
+        F.lit("file").alias("subj_type"),
+        F.lit("defines").alias("pred"),
+        F.regexp_extract("content", "def (fn[0-9]+)", 1).alias("obj"),
+        F.lit("function").alias("obj_type"),
+    )
+
+    calls = corpus.select(
+        "repo",
+        "path",
+        F.regexp_extract("content", "def (fn[0-9]+)", 1).alias("subj"),
+        F.lit("function").alias("subj_type"),
+        F.lit("calls").alias("pred"),
+        F.concat(
+            F.regexp_extract("content", "return (mod[0-9]+)", 1), F.lit(".call")
+        ).alias("obj"),
+        F.lit("callable").alias("obj_type"),
+    )
+
+    extends = corpus.select(
+        "repo",
+        "path",
+        F.regexp_extract("content", "class (Cls[0-9]+)", 1).alias("subj"),
+        F.lit("class").alias("subj_type"),
+        F.lit("extends").alias("pred"),
+        F.regexp_extract("content", "[(](Base[0-9]+)[)]", 1).alias("obj"),
+        F.lit("class").alias("obj_type"),
+    )
+
+    return imports.unionByName(defines).unionByName(calls).unionByName(extends)
+
+
+# ---------------------------------------------------------------- UDF path
+
+_IMPORT_RE = re.compile(r"import (mod[0-9]+)")
+_DEF_RE = re.compile(r"def (fn[0-9]+)")
+_RETURN_RE = re.compile(r"return (mod[0-9]+)")
+_CLASS_RE = re.compile(r"class (Cls[0-9]+)\((Base[0-9]+)\)")
+
+
+def _doc_records(repo: str, path: str, content: str) -> list[tuple]:
+    """Build per-doc relation records with dedup + char offsets.
+
+    Mirrors sel2record record building: per-doc seen-set dedup
+    (sel2record.py:463-466) and first-occurrence offset strategy
+    (sel2record.py:312-328 'first').
+    """
+    file_id = f"{repo}/{path}"
+    seen: set[tuple] = set()
+    out: list[tuple] = []
+
+    def emit(subj, subj_type, pred, obj, obj_type, subj_start, obj_start):
+        key = (subj, subj_type, pred, obj, obj_type)
+        if key in seen:
+            return
+        seen.add(key)
+        out.append((repo, path, *key, subj_start, obj_start))
+
+    for m in _IMPORT_RE.finditer(content):
+        emit(file_id, "file", "imports", m.group(1), "module", -1, m.start(1))
+    dm = _DEF_RE.search(content)
+    if dm:
+        emit(file_id, "file", "defines", dm.group(1), "function", -1, dm.start(1))
+        rm = _RETURN_RE.search(content)
+        if rm:
+            emit(
+                dm.group(1), "function", "calls", rm.group(1) + ".call",
+                "callable", dm.start(1), rm.start(1),
+            )
+    cm = _CLASS_RE.search(content)
+    if cm:
+        emit(cm.group(1), "class", "extends", cm.group(2), "class",
+             cm.start(1), cm.start(2))
+    return out
+
+
+def triples_udf(corpus: DataFrame) -> DataFrame:
+    """Arrow-batched record building: one narrow mapInPandas stage."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = TRIPLE_COLS + ["subj_start", "obj_start"]
+        for pdf in batches:
+            recs: list[tuple] = []
+            for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
+                recs.extend(_doc_records(repo, path, content))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return corpus.select("repo", "path", "content").mapInPandas(
+        extract, schema=TRIPLE_SCHEMA
+    )
+
+
+def triples_duck_sql(corpus_rel: str = "corpus") -> str:
+    """DuckDB oracle equivalent of triples_frame (same rows, same dedup)."""
+    return f"""
+SELECT repo, path, concat(repo, '/', path) AS subj, 'file' AS subj_type,
+       'imports' AS pred,
+       unnest(list_distinct(regexp_extract_all(content, 'import (mod[0-9]+)', 1))) AS obj,
+       'module' AS obj_type
+FROM {corpus_rel}
+UNION ALL
+SELECT repo, path, concat(repo, '/', path), 'file', 'defines',
+       regexp_extract(content, 'def (fn[0-9]+)', 1), 'function'
+FROM {corpus_rel}
+UNION ALL
+SELECT repo, path, regexp_extract(content, 'def (fn[0-9]+)', 1), 'function',
+       'calls', concat(regexp_extract(content, 'return (mod[0-9]+)', 1), '.call'),
+       'callable'
+FROM {corpus_rel}
+UNION ALL
+SELECT repo, path, regexp_extract(content, 'class (Cls[0-9]+)', 1), 'class',
+       'extends', regexp_extract(content, '[(](Base[0-9]+)[)]', 1), 'class'
+FROM {corpus_rel}
+""".strip()
+
+
+# ---------------------------------------------------------------- gold fixture
+
+def gold_triples_sql(documents_rel: str = "documents") -> str:
+    """Engine-portable SQL: the same triples derived arithmetically from
+    doc_id — independent of the extraction path; serves as the gold fixture
+    for P/R scoring (target P/R >= 0.95; this construction yields 1.0)."""
+    base = f"""
+(SELECT doc_id,
+        concat('org/repo', CAST(doc_id % 20 AS STRING)) AS repo,
+        concat('src/file_', CAST(doc_id AS STRING), '.py') AS path,
+        CAST(doc_id % 97 AS STRING) AS a,
+        CAST((doc_id * 7 + 3) % 97 AS STRING) AS b,
+        CAST(doc_id AS STRING) AS d
+ FROM {documents_rel}) t
+""".strip()
+    return f"""
+SELECT DISTINCT * FROM (
+  SELECT repo, path, concat(repo, '/', path) AS subj, 'file' AS subj_type,
+         'imports' AS pred, concat('mod', a) AS obj, 'module' AS obj_type
+  FROM {base}
+  UNION ALL
+  SELECT repo, path, concat(repo, '/', path), 'file', 'imports',
+         concat('mod', b), 'module' FROM {base}
+  UNION ALL
+  SELECT repo, path, concat(repo, '/', path), 'file', 'defines',
+         concat('fn', d), 'function' FROM {base}
+  UNION ALL
+  SELECT repo, path, concat('fn', d), 'function', 'calls',
+         concat('mod', a, '.call'), 'callable' FROM {base}
+  UNION ALL
+  SELECT repo, path, concat('Cls', d), 'class', 'extends',
+         concat('Base', b), 'class' FROM {base}
+) g
+""".strip()
