@@ -15,6 +15,23 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deepkg_spark.operators.canonicalize import (
+    canonical_entities,
+    canonical_entities_duck_sql,
+)
+from deepkg_spark.operators.graph import (
+    edge_table,
+    edge_table_duck_sql,
+    node_table,
+    node_table_duck_sql,
+)
+from deepkg_spark.operators.linking import (
+    bm25_duck_sql,
+    bm25_topn,
+    dense_topk_duck_sql,
+    dense_topk_frame,
+    link_exact,
+)
 from deepkg_spark.operators.mentions import (
     mentions_duck_sql,
     mentions_frame,
@@ -108,11 +125,74 @@ FROM j
 """
 
 
+def _q_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonical_entities(mentions_frame(load_corpus(spark, sf_dir)), n_salts=16)
+
+
+def _q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return node_table(triples_frame(load_corpus(spark, sf_dir)))
+
+
+def _q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edge_table(triples_frame(load_corpus(spark, sf_dir)))
+
+
+def _q_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast alias-dictionary exact linking of module mentions."""
+    mentions = mentions_frame(load_corpus(spark, sf_dir)).filter(
+        F.col("mention_type") == "module"
+    )
+    alias = (
+        mentions.select(F.lower(F.trim("surface")).alias("name"))
+        .distinct()
+        .select(F.md5("name").alias("term_id"), "name")
+    )
+    return link_exact(mentions, alias).select(
+        "repo", "path", "surface", "term_id"
+    )
+
+
+def _q_link_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+        .filter(F.col("qid") < 100)
+    )
+    d = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
+    )
+    return bm25_topn(q, d, topn=5)
+
+
+def _q_link_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return dense_topk_frame(q, c, k=5)
+
+
+_LINK_EXACT_ORACLE = """
+WITH corpus AS ({corpus}),
+m AS (SELECT * FROM ({mentions}) WHERE mention_type = 'module'),
+alias AS (SELECT md5(name) AS term_id, name
+          FROM (SELECT DISTINCT lower(trim(surface)) AS name FROM m))
+SELECT m.repo, m.path, m.surface, a.term_id
+FROM m LEFT JOIN alias a ON lower(trim(m.surface)) = a.name
+"""
+
+_BM25_Q = "SELECT doc_id AS qid, text AS qtext FROM documents WHERE doc_id < 100"
+_BM25_D = "SELECT p_partkey AS term_id, p_name AS name FROM part"
+_DENSE_Q = "SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0"
+_DENSE_C = "SELECT vec_id AS cid, embedding AS cvec FROM embeddings"
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: corpus -> triple extraction on sf0.001."""
-    return _q_triples(spark, "/root/testdata/sf0.001")
+    """Flagship: corpus -> triples -> canonical edge table on sf0.001."""
+    return _q_edges(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -124,6 +204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_udf": _q_triples_udf,
         "kg_gold_triples": _q_gold_triples,
         "kg_score_prf": _q_score_prf,
+        "kg_canonical": _q_canonical,
+        "kg_nodes": _q_nodes,
+        "kg_edges": _q_edges,
+        "kg_link_exact": _q_link_exact,
+        "kg_link_bm25": _q_link_bm25,
+        "kg_link_dense": _q_link_dense,
     }
 
 
@@ -138,4 +224,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_score_prf": _SCORE_PRF_ORACLE.format(
             corpus=corpus_sql(), pred=triples_duck_sql(), gold=gold_triples_sql()
         ).strip(),
+        "kg_canonical": _with_corpus(
+            f"SELECT * FROM ({canonical_entities_duck_sql(f'({mentions_duck_sql()})')}) c"
+        ),
+        "kg_nodes": _with_corpus(node_table_duck_sql(f"({triples_duck_sql()})")),
+        "kg_edges": _with_corpus(edge_table_duck_sql(f"({triples_duck_sql()})")),
+        "kg_link_exact": _LINK_EXACT_ORACLE.format(
+            corpus=corpus_sql(), mentions=mentions_duck_sql()
+        ).strip(),
+        "kg_link_bm25": bm25_duck_sql(f"({_BM25_Q})", f"({_BM25_D})", topn=5),
+        "kg_link_dense": dense_topk_duck_sql(f"({_DENSE_Q})", f"({_DENSE_C})", k=5),
     }

@@ -1,0 +1,97 @@
+"""Canonicalization / dedup: normalized surface forms -> canonical entity ids.
+
+Reference semantics: surface normalization chains (full->half width, lower,
+NFD Mn-strip: ExtractionEntities/utils/tools.py:47-75, AutoPhraseX tokenizer
+Q2B autophrasex/utils.py:33-42) followed by grouping equal normalized forms.
+
+Scale design (the part the reference never faces — it holds dicts in RAM):
+- Canonical ids are CONTENT-DERIVED (md5 of the normalized surface), never
+  monotonically_increasing_id / zipWithIndex: ids are identical across runs,
+  partitionings, and cluster sizes — the determinism requirement.
+- ``salted_group_stats`` implements the explicit two-phase salted groupBy the
+  north star names. Spark's hash aggregate already does partial (map-side)
+  combine for algebraic aggregates, which covers most skew; the explicit salt
+  phase matters when (a) a single hot key dominates even the FINAL agg's one
+  reducer with non-algebraic state (collect_*/exact distinct), or (b) a
+  downstream JOIN keys on the hot surface. We therefore salt with
+  pmod(h32(surface), n_salts) — deterministic, engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepkg_spark.functions.hashing import spark_h32
+
+NORM = "lower(trim(surface))"
+
+
+def canonical_entities(mentions: DataFrame, n_salts: int = 16) -> DataFrame:
+    """mentions(surface, mention_type, ...) ->
+    (canonical_id, norm_surface, mention_type, n_mentions, n_variants).
+
+    Two-phase salted aggregation:
+      phase 1: groupBy(norm, type, salt)  -- spreads a hot surface over
+               n_salts reducers; count + min(variant-hash) are algebraic.
+      phase 2: groupBy(norm, type)        -- at most n_salts rows per key.
+    Distinct-variant counting runs on the (norm, surface) dedup'd frame whose
+    key is strictly wider (hence strictly less skewed) than norm alone.
+    """
+    base = mentions.select(
+        F.expr(NORM).alias("norm_surface"),
+        F.col("mention_type"),
+        F.col("surface"),
+        F.expr(f"pmod({spark_h32('surface')}, {n_salts})").alias("_salt"),
+    )
+    phase1 = base.groupBy("norm_surface", "mention_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.md5("surface")).alias("_min_md5"),
+    )
+    phase2 = phase1.groupBy("norm_surface", "mention_type").agg(
+        F.sum("_n").cast("bigint").alias("n_mentions"),
+        F.min("_min_md5").alias("_vmin"),
+    )
+    variants = (
+        base.select("norm_surface", "mention_type", "surface")
+        .distinct()
+        .groupBy("norm_surface", "mention_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_variants"))
+    )
+    return (
+        phase2.join(variants, ["norm_surface", "mention_type"])
+        .select(
+            F.md5(F.concat_ws("|", "norm_surface", "mention_type")).alias(
+                "canonical_id"
+            ),
+            "norm_surface",
+            "mention_type",
+            "n_mentions",
+            "n_variants",
+            F.col("_vmin").alias("rep_surface_md5"),
+        )
+    )
+
+
+def canonical_entities_duck_sql(mentions_rel: str) -> str:
+    """DuckDB oracle: plain GROUP BY — salting is physical-only, results equal."""
+    return f"""
+SELECT md5(concat(norm_surface, '|', mention_type)) AS canonical_id,
+       norm_surface, mention_type,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT surface) AS BIGINT) AS n_variants,
+       min(md5(surface)) AS rep_surface_md5
+FROM (SELECT lower(trim(surface)) AS norm_surface, mention_type, surface
+      FROM {mentions_rel})
+GROUP BY norm_surface, mention_type
+""".strip()
+
+
+def salted_repartition(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Hot-key spreading for joins: adds a deterministic salt column and
+    repartitions on (key, salt). The other join side is exploded over the
+    salt range. Use when AQE skew-join cannot see the skew (e.g. after a
+    UDF stage with no stats)."""
+    return df.withColumn(
+        "_salt", F.expr(f"pmod({spark_h32(key)}, {n_salts})")
+    ).repartition(F.col(key), F.col("_salt"))

@@ -1,0 +1,271 @@
+"""Entity linking: candidate generation against a canonical-term dictionary.
+
+Re-expresses the reference's Normalization + SimCSE recall stages
+(citations into /root/reference/):
+
+1. ``link_exact``  — broadcast alias-dictionary equi-join on the normalized
+   surface (the degenerate-but-dominant case; reference analogue: exact hits
+   inside BM25 ranking, Normalization/recall/model/BM25_Model.py:53-72).
+2. ``bm25_topn``   — Okapi BM25 re-expressed as DataFrame algebra: dictionary
+   postings (explode -> term stats) JOIN query tokens -> per-(query, doc)
+   partial scores -> sum -> window top-N. Replaces both the in-process
+   rank_bm25 scan (BM25_Model.py:38-72, k1=1.5 b=0.75, epsilon=0.25 defaults)
+   and the external Elasticsearch index (ES_Model.py:15-151) with a pure
+   shuffle-join plan: no 40k-doc broadcast scan per query, no external
+   service, and the postings side scales horizontally.
+3. ``dense_topk``  — dense-embedding inner-product top-K. Exact and
+   deterministic, replacing the faiss IVF index (SimCSE-Chinese-Pytorch/
+   simcse_unsup.py:44-76) with (a) a JVM path: broadcast candidates +
+   zip_with/aggregate dot product + window top-K, and (b) an Arrow path:
+   numpy matmul against a broadcast candidate matrix inside mapInPandas
+   (the vectorized-UDF shape; ~BLAS throughput per batch).
+
+Determinism: scores are rounded to 6 decimals BEFORE ranking and ties break
+on candidate id, so rankings agree bit-for-bit across engines, batch orders,
+and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deepkg_spark.functions.text import duck_tokens, spark_tokens
+
+K1 = 1.5
+B = 0.75
+EPSILON = 0.25  # rank_bm25 Okapi negative-idf correction factor
+ROUND = 6
+
+
+# ---------------------------------------------------------------- exact
+
+def link_exact(mentions: DataFrame, alias: DataFrame) -> DataFrame:
+    """Broadcast alias-dictionary join on normalized surface.
+
+    mentions(surface, ...) x alias(term_id, name) -> + term_id.
+    The dictionary is small (<= few 100 MB at reference scale: ~40k ICD terms,
+    Bulid_Data_Model.py:32-35) -> always broadcast; the mention side never
+    shuffles.
+    """
+    a = alias.select(
+        F.col("term_id"), F.lower(F.trim(F.col("name"))).alias("_norm_name")
+    )
+    return mentions.withColumn(
+        "_norm_surface", F.lower(F.trim(F.col("surface")))
+    ).join(
+        F.broadcast(a), F.col("_norm_surface") == F.col("_norm_name"), "left"
+    ).drop("_norm_surface", "_norm_name")
+
+
+# ---------------------------------------------------------------- BM25
+
+def bm25_topn(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    topn: int = 5,
+    k1: float = K1,
+    b: float = B,
+    epsilon: float = EPSILON,
+) -> DataFrame:
+    """Okapi BM25 top-N as a join+agg+window plan.
+
+    queries(qid, qtext) x dictionary(term_id, name)
+      -> (qid, term_id, score double, rank int)
+
+    Plan shape (and why it scales):
+      - postings = explode(dict tokens) -> groupBy(term_id, term): ONE pass
+        over the dictionary; reused across all queries (the reference rebuilds
+        BM25 stats per process, BM25_Model.py:88-130 pickles them instead).
+      - idf from document frequency; rank_bm25-style negative-idf correction
+        (idf < 0 -> epsilon * avg_idf) so common terms never subtract.
+      - query tokens JOIN postings on term: the only wide op; skew on hot
+        terms is handled by AQE skew-join (enabled in session.py).
+      - groupBy(qid, term_id) partial+final sum, then per-qid window top-N.
+    """
+    q_tok = queries.select(
+        "qid", F.explode(F.expr(spark_tokens("qtext"))).alias("term")
+    )
+    # query-side term multiplicity matters (rank_bm25 sums per query token)
+    q_tok = q_tok.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("qtf"))
+
+    d_tok = dictionary.select(
+        "term_id", F.explode(F.expr(spark_tokens("name"))).alias("term")
+    )
+    postings = d_tok.groupBy("term_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = postings.groupBy("term_id").agg(F.sum("tf").alias("dl"))
+
+    n_docs = dictionary.count()
+    avgdl_row = doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
+    avgdl = float(avgdl_row["avgdl"])
+
+    df_ = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_raw = df_.withColumn(
+        "idf_raw",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    avg_idf = float(idf_raw.agg(F.avg("idf_raw")).collect()[0][0])
+    idf = idf_raw.withColumn(
+        "idf",
+        F.when(F.col("idf_raw") > 0, F.col("idf_raw")).otherwise(
+            F.lit(epsilon * avg_idf)
+        ),
+    ).select("term", "idf")
+
+    scored = (
+        q_tok.join(postings, "term")
+        .join(F.broadcast(idf), "term")
+        .join(F.broadcast(doclen), "term_id")
+        .withColumn(
+            "part_score",
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("qid", "term_id")
+        .agg(F.round(F.sum("part_score"), ROUND).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+        .select("qid", "term_id", "score", "rank")
+    )
+
+
+def bm25_duck_sql(
+    queries_rel: str,
+    dict_rel: str,
+    topn: int = 5,
+    k1: float = K1,
+    b: float = B,
+    epsilon: float = EPSILON,
+) -> str:
+    """DuckDB oracle mirroring bm25_topn exactly (same rounding + ties)."""
+    return f"""
+WITH q_tok AS (
+  SELECT qid, unnest({duck_tokens('qtext')}) AS term FROM {queries_rel}
+), q_tf AS (
+  SELECT qid, term, CAST(count(*) AS BIGINT) AS qtf FROM q_tok GROUP BY 1, 2
+), d_tok AS (
+  SELECT term_id, unnest({duck_tokens('name')}) AS term FROM {dict_rel}
+), postings AS (
+  SELECT term_id, term, CAST(count(*) AS BIGINT) AS tf FROM d_tok GROUP BY 1, 2
+), doclen AS (
+  SELECT term_id, CAST(sum(tf) AS DOUBLE) AS dl FROM postings GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {dict_rel}
+), avgdl AS (
+  SELECT avg(dl) AS avgdl FROM doclen
+), idf_raw AS (
+  SELECT term, ln((s.n_docs - df + 0.5) / (df + 0.5)) AS idf_raw
+  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1), stats s
+), idf AS (
+  SELECT term,
+         CASE WHEN idf_raw > 0 THEN idf_raw
+              ELSE {epsilon} * (SELECT avg(idf_raw) FROM idf_raw) END AS idf
+  FROM idf_raw
+), scored AS (
+  SELECT q.qid, p.term_id,
+         round(sum(q.qtf * i.idf * (p.tf * ({k1} + 1)) /
+                   (p.tf + {k1} * (1 - {b} + {b} * d.dl / a.avgdl))), {ROUND}) AS score
+  FROM q_tf q
+  JOIN postings p USING (term)
+  JOIN idf i USING (term)
+  JOIN doclen d ON d.term_id = p.term_id, avgdl a
+  GROUP BY 1, 2
+)
+SELECT qid, term_id, score, rank FROM (
+  SELECT qid, term_id, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, term_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {topn}
+""".strip()
+
+
+# ---------------------------------------------------------------- dense
+
+def dense_topk_frame(
+    queries: DataFrame, candidates: DataFrame, k: int = 5
+) -> DataFrame:
+    """JVM dense top-K: broadcast nested-loop join + aggregate() dot product.
+
+    queries(qid, qvec array<T>) x candidates(cid, cvec) -> (qid, cid, score, rank).
+    The candidate side is broadcast (reference dictionary scale); the dot
+    product stays in codegen via zip_with + aggregate — no Python.
+    """
+    c = candidates.select(F.col("cid"), F.col("cvec"))
+    joined = queries.crossJoin(F.broadcast(c)).withColumn(
+        "score",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qvec, cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+            ROUND,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score", "rank")
+    )
+
+
+def dense_topk_udf(queries: DataFrame, candidates: DataFrame, k: int = 5) -> DataFrame:
+    """Arrow dense top-K: numpy matmul per batch against a broadcast matrix.
+
+    The scale path when candidates fit per-executor (reference: faiss index
+    held in RAM, simcse_unsup.py:44-53): one narrow mapInPandas stage; each
+    Arrow batch does ONE [batch, dim] @ [dim, n_cand] GEMM + argpartition.
+    """
+    cand_rows = candidates.select("cid", "cvec").collect()
+    cids = np.array([r["cid"] for r in cand_rows])
+    mat = np.array([r["cvec"] for r in cand_rows], dtype=np.float64).T  # [dim, n]
+    spark = queries.sparkSession
+    b_cids = spark.sparkContext.broadcast(cids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    kk = k
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids_l, mat_l = b_cids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.array(list(pdf["qvec"]), dtype=np.float64)  # [b, dim]
+            scores = np.round(q @ mat_l, ROUND)  # [b, n]
+            out = {"qid": [], "cid": [], "score": [], "rank": []}
+            for row_i in range(scores.shape[0]):
+                s = scores[row_i]
+                # deterministic: sort by (-score, cid)
+                order = np.lexsort((cids_l, -s))[:kk]
+                out["qid"].extend([pdf["qid"].iloc[row_i]] * len(order))
+                out["cid"].extend(cids_l[order].tolist())
+                out["score"].extend(s[order].tolist())
+                out["rank"].extend(range(1, len(order) + 1))
+            yield pd.DataFrame(out)
+
+    return queries.select("qid", "qvec").mapInPandas(
+        score, schema="qid long, cid long, score double, rank int"
+    )
+
+
+def dense_topk_duck_sql(queries_rel: str, cand_rel: str, k: int = 5) -> str:
+    """DuckDB oracle for dense top-K (list_dot_product, same rounding/ties)."""
+    return f"""
+SELECT qid, cid, score, rank FROM (
+  SELECT q.qid, c.cid,
+         round(list_dot_product(q.qvec::DOUBLE[], c.cvec::DOUBLE[]), {ROUND}) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY round(list_dot_product(q.qvec::DOUBLE[], c.cvec::DOUBLE[]), {ROUND}) DESC, c.cid ASC
+         ) AS INT) AS rank
+  FROM {queries_rel} q, {cand_rel} c
+) WHERE rank <= {k}
+""".strip()

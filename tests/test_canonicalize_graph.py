@@ -1,0 +1,103 @@
+"""Canonicalization (salted groupBy) + graph materialize + checkpoint resume."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from deepkg_spark.checkpoint import run_incremental
+from deepkg_spark.operators.canonicalize import (
+    canonical_entities,
+    canonical_entities_duck_sql,
+)
+from deepkg_spark.operators.graph import (
+    edge_table,
+    edge_table_duck_sql,
+    node_table,
+    node_table_duck_sql,
+    write_graph,
+)
+from deepkg_spark.operators.mentions import mentions_frame
+from deepkg_spark.operators.relations import triples_duck_sql, triples_frame
+from deepkg_spark.sources.corpus import corpus_sql, load_corpus
+from tests.compare import compare_spark_duck, duck_connect
+
+
+def _con_with_corpus(sf_dir):
+    con = duck_connect(sf_dir)
+    con.execute(f"CREATE VIEW corpus AS {corpus_sql()}")
+    return con
+
+
+def test_canonical_entities_matches_duckdb(spark, sf_dir):
+    mentions = mentions_frame(load_corpus(spark, sf_dir))
+    con = _con_with_corpus(sf_dir)
+    con.execute(f"CREATE VIEW m AS SELECT * FROM ({__import__('deepkg_spark.operators.mentions', fromlist=['mentions_duck_sql']).mentions_duck_sql()})")
+    compare_spark_duck(
+        canonical_entities(mentions, n_salts=4), con, canonical_entities_duck_sql("m")
+    )
+
+
+def test_salting_invariant(spark, sf_dir):
+    mentions = mentions_frame(load_corpus(spark, sf_dir))
+    a = {tuple(r) for r in canonical_entities(mentions, n_salts=1).collect()}
+    b = {tuple(r) for r in canonical_entities(mentions, n_salts=32).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_graph_tables_match_duckdb(spark, sf_dir):
+    triples = triples_frame(load_corpus(spark, sf_dir))
+    con = _con_with_corpus(sf_dir)
+    con.execute(f"CREATE VIEW t AS {triples_duck_sql()}")
+    compare_spark_duck(node_table(triples), con, node_table_duck_sql("t"))
+    compare_spark_duck(edge_table(triples), con, edge_table_duck_sql("t"))
+
+
+def test_write_graph_partitioned(spark, sf_dir, tmp_path):
+    triples = triples_frame(load_corpus(spark, sf_dir))
+    write_graph(node_table(triples), edge_table(triples), str(tmp_path))
+    edges = spark.read.parquet(f"{tmp_path}/edges")
+    assert edges.filter(F.col("pred") == "imports").count() > 0
+    # partition pruning: predicate on the partition column prunes files
+    plan = (
+        edges.filter(F.col("pred") == "imports")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan or "pred" in plan
+
+
+def test_checkpoint_resume_exact(spark, sf_dir):
+    """Killed-run simulation: partial commit, resume, equality with one-shot."""
+    corpus = load_corpus(spark, sf_dir)
+    pipeline = lambda df: triples_frame(df)  # noqa: E731
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        # one-shot run
+        run_incremental(spark, corpus, pipeline, d1, "job", n_splits=8)
+        full = {tuple(r) for r in spark.read.parquet(f"{d1}/data").drop("split_id").collect()}
+
+        # partial run (simulates kill after 3 of 8 splits), then resume
+        r1 = run_incremental(spark, corpus, pipeline, d2, "job", n_splits=8,
+                             only_splits={0, 1, 2})
+        assert 0 < r1["processed"] <= 3
+        r2 = run_incremental(spark, corpus, pipeline, d2, "job", n_splits=8)
+        resumed = {tuple(r) for r in spark.read.parquet(f"{d2}/data").drop("split_id").collect()}
+        assert resumed == full
+
+        # idempotence: nothing pending on a third call
+        r3 = run_incremental(spark, corpus, pipeline, d2, "job", n_splits=8)
+        assert r3 == {"pending": 0, "processed": 0, "rows": 0}
+
+        # manifest lineage: counts + checksums cover every split exactly once
+        man = spark.read.parquet(f"{d2}/_manifest")
+        rows = man.groupBy("split_id").count().collect()
+        assert all(r["count"] == 1 for r in rows)
+        assert man.agg(F.sum("row_count")).collect()[0][0] == len(full)
+        m1 = {(r["split_id"], r["row_count"], r["checksum"])
+              for r in spark.read.parquet(f"{d1}/_manifest").collect()}
+        m2 = {(r["split_id"], r["row_count"], r["checksum"])
+              for r in man.collect()}
+        assert m1 == m2
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)

@@ -1,0 +1,81 @@
+"""Entity linking: exact broadcast join, BM25-as-join, dense cosine top-K."""
+
+from pyspark.sql import functions as F
+
+from deepkg_spark.operators.linking import (
+    bm25_duck_sql,
+    bm25_topn,
+    dense_topk_duck_sql,
+    dense_topk_frame,
+    dense_topk_udf,
+    link_exact,
+)
+from tests.compare import compare_spark_duck, duck_connect
+
+
+def _queries_df(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+        .filter(F.col("qid") < 30)
+    )
+
+
+def _dict_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
+    )
+
+
+def test_link_exact_broadcast(spark, sf_dir):
+    mentions = spark.createDataFrame(
+        [("Widget A",), ("widget a",), ("nope",)], ["surface"]
+    )
+    alias = spark.createDataFrame([(1, "widget a"), (2, "other")], ["term_id", "name"])
+    rows = {(r["surface"], r["term_id"]) for r in link_exact(mentions, alias).collect()}
+    assert rows == {("Widget A", 1), ("widget a", 1), ("nope", None)}
+    plan = link_exact(mentions, alias)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_matches_duckdb(spark, sf_dir):
+    q, d = _queries_df(spark, sf_dir), _dict_df(spark, sf_dir)
+    q.createOrReplaceTempView("bm25_queries")
+    d.createOrReplaceTempView("bm25_dict")
+    con = duck_connect(sf_dir)
+    con.execute(
+        "CREATE VIEW bm25_queries AS SELECT doc_id AS qid, text AS qtext "
+        "FROM documents WHERE doc_id < 30"
+    )
+    con.execute(
+        "CREATE VIEW bm25_dict AS SELECT p_partkey AS term_id, p_name AS name FROM part"
+    )
+    compare_spark_duck(
+        bm25_topn(q, d, topn=5), con, bm25_duck_sql("bm25_queries", "bm25_dict", topn=5)
+    )
+
+
+def test_dense_topk_frame_matches_duckdb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    con = duck_connect(sf_dir)
+    con.execute(
+        "CREATE VIEW dq AS SELECT vec_id AS qid, embedding AS qvec FROM embeddings "
+        "WHERE vec_id % 20 = 0"
+    )
+    con.execute("CREATE VIEW dc AS SELECT vec_id AS cid, embedding AS cvec FROM embeddings")
+    compare_spark_duck(dense_topk_frame(q, c, k=5), con, dense_topk_duck_sql("dq", "dc", k=5))
+
+
+def test_dense_udf_equals_frame(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    a = {tuple(r) for r in dense_topk_frame(q, c, k=5).collect()}
+    b = {tuple(r) for r in dense_topk_udf(q, c, k=5).collect()}
+    assert a == b and len(a) > 0
