@@ -32,10 +32,49 @@ from deepkg_spark.operators.linking import (
     dense_topk_frame,
     link_exact,
 )
+from deepkg_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_duck_sql,
+    embedding_neardup,
+    embedding_neardup_duck_sql,
+    jaccard_pairs,
+    jaccard_pairs_duck_sql,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_duck_sql,
+    minhash_signatures,
+    minhash_signatures_duck_sql,
+    simhash,
+    simhash_duck_sql,
+    simhash_pairs,
+    simhash_pairs_duck_sql,
+)
 from deepkg_spark.operators.mentions import (
     mentions_duck_sql,
     mentions_frame,
     mentions_udf,
+)
+from deepkg_spark.operators.phrases import (
+    idf,
+    idf_duck_sql,
+    neighbor_entropy,
+    neighbor_entropy_duck_sql,
+    ngram_stats,
+    ngram_stats_duck_sql,
+    phrase_candidates,
+    phrase_candidates_duck_sql,
+    pmi,
+    pmi_duck_sql,
+)
+from deepkg_spark.operators.similarity import rp_lsh_topk, rp_lsh_topk_duck_sql
+from deepkg_spark.operators.textstats import (
+    fingerprints,
+    fingerprints_duck_sql,
+    lang_id,
+    lang_id_duck_sql,
+    quality_score,
+    quality_score_duck_sql,
+    token_counts,
+    token_counts_duck_sql,
 )
 from deepkg_spark.operators.relations import (
     TRIPLE_COLS,
@@ -182,6 +221,127 @@ SELECT m.repo, m.path, m.surface, a.term_id
 FROM m LEFT JOIN alias a ON lower(trim(m.surface)) = a.name
 """
 
+# duplicate-injected corpus for the dedup operators (portable SQL)
+_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, concat(text, ' zzz') AS text
+FROM documents WHERE doc_id < 10
+""".strip()
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_DUP_SQL)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def _merge_cte(prefix_name: str, prefix_sql: str, inner: str) -> str:
+    """Prepend a CTE to SQL that may itself start with a WITH clause."""
+    inner = inner.strip()
+    if inner.upper().startswith("WITH "):
+        return f"WITH {prefix_name} AS ({prefix_sql}), {inner[5:]}"
+    return f"WITH {prefix_name} AS ({prefix_sql}) {inner}"
+
+
+def _with_dup(sql_fn, *args, **kw) -> str:
+    return _merge_cte("dup_docs", _DUP_SQL, sql_fn("dup_docs", *args, **kw))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_dup_docs(spark, sf_dir))
+
+
+def _q_minhash_sig(spark, sf_dir):
+    return minhash_signatures(_dup_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_dup_docs(spark, sf_dir), tau=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash(_dup_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return simhash_pairs(_dup_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_jaccard(spark, sf_dir):
+    d = _dup_docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 60) | (F.col("doc_id") >= 100000)
+    )
+    return jaccard_pairs(d, tau=0.5)
+
+
+_JACCARD_ORACLE_REL = (
+    "(SELECT * FROM dup_docs WHERE doc_id < 60 OR doc_id >= 100000)"
+)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    return embedding_neardup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), tau=0.8
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return rp_lsh_topk(q, c, k=5, dim=64)
+
+
+_ANN_Q = "SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 10 = 0"
+_ANN_C = "SELECT vec_id AS cid, embedding AS cvec FROM embeddings"
+
+
+def _q_langid(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_tokcounts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_ngram_stats(spark, sf_dir):
+    return ngram_stats(_docs(spark, sf_dir), 3)
+
+
+def _q_pmi(spark, sf_dir):
+    return pmi(_docs(spark, sf_dir), 3)
+
+
+def _q_idf(spark, sf_dir):
+    return idf(_docs(spark, sf_dir), 2)
+
+
+def _q_entropy(spark, sf_dir):
+    return neighbor_entropy(_docs(spark, sf_dir), 2)
+
+
+def _q_candidates(spark, sf_dir):
+    return phrase_candidates(_docs(spark, sf_dir))
+
+
 _BM25_Q = "SELECT doc_id AS qid, text AS qtext FROM documents WHERE doc_id < 100"
 _BM25_D = "SELECT p_partkey AS term_id, p_name AS name FROM part"
 _DENSE_Q = "SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0"
@@ -210,6 +370,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_exact": _q_link_exact,
         "kg_link_bm25": _q_link_bm25,
         "kg_link_dense": _q_link_dense,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sig": _q_minhash_sig,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_jaccard": _q_jaccard,
+        "dedup_embedding": _q_embedding_neardup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "text_langid": _q_langid,
+        "text_quality": _q_quality,
+        "text_token_counts": _q_tokcounts,
+        "text_fingerprints": _q_fingerprints,
+        "ph_ngram_stats": _q_ngram_stats,
+        "ph_pmi": _q_pmi,
+        "ph_idf": _q_idf,
+        "ph_entropy": _q_entropy,
+        "ph_candidates": _q_candidates,
     }
 
 
@@ -234,4 +411,23 @@ def oracle_sql() -> dict[str, str]:
         ).strip(),
         "kg_link_bm25": bm25_duck_sql(f"({_BM25_Q})", f"({_BM25_D})", topn=5),
         "kg_link_dense": dense_topk_duck_sql(f"({_DENSE_Q})", f"({_DENSE_C})", k=5),
+        "dedup_exact": _with_dup(dedup_exact_duck_sql),
+        "dedup_minhash_sig": _with_dup(minhash_signatures_duck_sql),
+        "dedup_minhash_lsh": _with_dup(minhash_lsh_pairs_duck_sql, tau=0.5),
+        "dedup_simhash": _with_dup(simhash_duck_sql),
+        "dedup_simhash_pairs": _with_dup(simhash_pairs_duck_sql, max_hamming=3),
+        "dedup_jaccard": _merge_cte(
+            "dup_docs", _DUP_SQL, jaccard_pairs_duck_sql(_JACCARD_ORACLE_REL, tau=0.5)
+        ),
+        "dedup_embedding": embedding_neardup_duck_sql("embeddings", tau=0.8),
+        "ann_lsh_topk": rp_lsh_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
+        "text_langid": lang_id_duck_sql("documents"),
+        "text_quality": quality_score_duck_sql("documents"),
+        "text_token_counts": token_counts_duck_sql("documents"),
+        "text_fingerprints": fingerprints_duck_sql("documents"),
+        "ph_ngram_stats": ngram_stats_duck_sql("documents", 3),
+        "ph_pmi": pmi_duck_sql("documents", 3),
+        "ph_idf": idf_duck_sql("documents", 2),
+        "ph_entropy": neighbor_entropy_duck_sql("documents", 2),
+        "ph_candidates": phrase_candidates_duck_sql("documents"),
     }

@@ -1,0 +1,393 @@
+"""Corpus-scale deduplication suite (training-data pipeline operators).
+
+Five dedup strategies over documents(doc_id, text), each with a DuckDB oracle
+twin. The reference's nearest analogue is per-doc tuple dedup
+(UIE_torch/uie/evaluation/sel2record.py:463-466) and matched-entity set dedup
+(sel2record.py:350-363); corpus-level near-dup is this engine's addition for
+the 100 TB training-data use case.
+
+Scale notes per strategy:
+- exact:      one hash agg on md5(text). Never shuffles raw text — only the
+              16-byte digest and doc_id.
+- minhash:    shingle -> 16 universal-hash mins in ONE groupBy (algebraic,
+              map-side combined). LSH bands (4 x 4) turn all-pairs into
+              equi-join on (band_id, band_key); verification joins shingle
+              sets only for candidate pairs. This is the 100 TB path: cost ~
+              O(docs * shingles) + O(candidate pairs), never O(docs^2).
+- simhash:    32-bit signature via 32 conditional sums in one groupBy; pairs
+              via byte-band equi-join + bit_count(xor) hamming verify.
+- jaccard:    exact n-gram Jaccard via shingle self-join — the correctness
+              baseline; O(sum df^2) on hot shingles, so the scale path is
+              minhash above (documented trade-off).
+- embedding:  cosine near-dup; JVM zip_with path for oracle parity, Arrow
+              GEMM path for scale (see similarity.py).
+
+All hashes are md5-derived (functions/hashing.py) so Spark and DuckDB agree
+bit-for-bit; MinHash coefficients come from a pinned seed (1234, matching the
+reference's seed discipline, ExtractionEntities/utils/tools.py:17-22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepkg_spark.functions.hashing import (
+    MERSENNE31,
+    duck_h31,
+    duck_h32,
+    minhash_coeffs,
+    spark_h31,
+    spark_h32,
+)
+from deepkg_spark.functions.text import duck_ngrams, duck_tokens, spark_ngrams, spark_tokens
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_N = 3
+COEFFS = minhash_coeffs(NUM_PERM, seed=1234)
+SIMHASH_BITS = 32
+ROUND = 6
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(content_md5, n_docs, keep_doc_id) for every duplicate group (n > 1)."""
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact_duck_sql(docs_rel: str) -> str:
+    return f"""
+SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM {docs_rel} GROUP BY md5(text) HAVING count(*) > 1
+""".strip()
+
+
+# ---------------------------------------------------------------- minhash
+
+def _shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr(spark_ngrams(spark_tokens("text"), n))).alias("sh"),
+    ).distinct()
+
+
+def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, mh0..mh15): one groupBy, 16 algebraic min aggregates."""
+    sh = _shingles(docs, n).withColumn("h", F.expr(spark_h31("sh")))
+    aggs = [
+        F.min(F.expr(f"({a}L * h + {b}L) % {MERSENNE31}L")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_duck_sql(docs_rel: str, n: int = SHINGLE_N) -> str:
+    toks = duck_tokens("text")
+    aggs = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(COEFFS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({duck_ngrams(toks, n)}) AS sh FROM {docs_rel}
+), h AS (SELECT doc_id, {duck_h31('sh')} AS h FROM sh)
+SELECT doc_id, {aggs} FROM h GROUP BY doc_id
+""".strip()
+
+
+def _band_key_exprs() -> list[str]:
+    keys = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        keys.append("concat_ws(',', " + ", ".join(f"CAST({c} AS STRING)" for c in cols) + ")")
+    return keys
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = SHINGLE_N, tau: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
+
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= tau.
+    """
+    sig = minhash_signatures(docs, n)
+    bands = None
+    for b, key in enumerate(_band_key_exprs()):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band_id"), F.expr(key).alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sh = _shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), ROUND
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_duck_sql(docs_rel: str, n: int = SHINGLE_N, tau: float = 0.5) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + "concat_ws(',', "
+        + ", ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(BANDS)
+    )
+    toks = duck_tokens("text")
+    return f"""
+WITH sig AS ({minhash_signatures_duck_sql(docs_rel, n)}),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r USING (band_id, band_key)
+  WHERE l.doc_id < r.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, unnest({duck_ngrams(toks, n)}) AS sh FROM {docs_rel}),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {ROUND}) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {ROUND}) >= {tau}
+""".strip()
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash bigint): 32-bit SimHash over whitespace tokens.
+
+    Token weight = term frequency; bit b of the signature is 1 iff the
+    weighted sum of (+w if bit b of h32(token) else -w) is positive.
+    One groupBy with 32 conditional-sum aggregates — a single shuffle of
+    (doc_id, token, count), never the raw text.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(spark_tokens("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.expr(spark_h32("tok")))
+    )
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"((h >> {b}) & 1) = 1"), F.col("w")).otherwise(-F.col("w"))
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_duck_sql(docs_rel: str) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN w ELSE -w END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w
+  FROM (SELECT doc_id, unnest({duck_tokens('text')}) AS tok FROM {docs_rel})
+  GROUP BY doc_id, tok
+), h AS (SELECT doc_id, {duck_h32('tok')} AS h, w FROM tf),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {bit_terms} AS simhash FROM sums
+""".strip()
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within hamming distance, via byte-band
+    LSH (a pair within distance 3 of 32 bits agrees on >= 1 of 4 bytes) +
+    bit_count(xor) verification."""
+    sig = simhash(docs)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band_id"),
+            F.expr(f"(simhash >> {b * 8}) & 255").alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band_id", "band_key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band_id", "band_key",
+    )
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_duck_sql(docs_rel: str, max_hamming: int = 3) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, (simhash >> {b * 8}) & 255 AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH sig AS ({simhash_duck_sql(docs_rel)}),
+bands AS ({bands})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM bands l JOIN bands r USING (band_id, band_key)
+WHERE l.doc_id < r.doc_id
+  AND bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+""".strip()
+
+
+# ---------------------------------------------------------------- exact jaccard
+
+def jaccard_pairs(docs: DataFrame, n: int = SHINGLE_N, tau: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing a shingle (baseline;
+    scale path is minhash_lsh_pairs — see module docstring)."""
+    sh = _shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), ROUND),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_duck_sql(docs_rel: str, n: int = SHINGLE_N, tau: float = 0.5) -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({duck_ngrams(toks, n)}) AS sh FROM {docs_rel}),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {ROUND}) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {ROUND}) >= {tau}
+""".strip()
+
+
+# ---------------------------------------------------------------- embedding
+
+def embedding_neardup(emb: DataFrame, tau: float = 0.95) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine >= tau. JVM zip_with path
+    (oracle-parity baseline); the Arrow GEMM variant for large candidate sets
+    lives in similarity.brute_force_topk_udf."""
+    v = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+        ).alias("nrm"),
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+                / (F.col("na") * F.col("nb")),
+                ROUND,
+            ),
+        )
+        .filter(F.col("cos") >= tau)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def embedding_neardup_duck_sql(emb_rel: str, tau: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), {ROUND}) AS cos
+FROM {emb_rel} a JOIN {emb_rel} b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), {ROUND}) >= {tau}
+""".strip()

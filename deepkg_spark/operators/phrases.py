@@ -1,0 +1,281 @@
+"""Phrase-mining statistics (vocabulary mining stage).
+
+Re-expresses AutoPhraseX's in-process Counter pipeline (citations into
+/root/reference/AutoPhraseX-main/):
+- n-gram frequency:      extractors.py:101-112 (dict-of-Counter)  ->
+  explode + groupBy(n, ngram) with map-side partial aggregation.
+- document frequency:    extractors.py:161-184 (per-doc sets)     ->
+  distinct(doc_id, ngram) + count.
+- PMI:                   extractors.py:120-158                    ->
+  join n-gram freq with its unigram parts' freqs; sum of log2 probabilities.
+- left/right entropy:    extractors.py:216-290 (neighbor Counters) ->
+  neighbor pair counts + -sum(p*log2(p)) window-free aggregation.
+- candidate selection:   selector.py:51-70, 107-135 (min_freq/min_len,
+  stopword drop, top-k by freq).
+
+Engine semantics (documented, identical in Spark and the DuckDB oracle):
+  EPS = 1e-8 smoothing;  pmi = log2((p_ngram + EPS) / (prod p_unigram + EPS));
+  idf = ln((n_docs + EPS) / (doc_freq + EPS));  entropy base 2.
+All shuffles are hash aggregations on (n, ngram) — partial+final combine makes
+hot n-grams a non-issue; the distinct for doc_freq keys on (doc_id, ngram),
+strictly wider than ngram alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepkg_spark.functions.text import duck_ngrams, duck_tokens, spark_ngrams, spark_tokens
+
+EPS = 1e-8
+ROUND = 6
+BOS, EOS = "<s>", "</s>"
+
+
+def _tokens_df(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.expr(spark_tokens("text")).alias("toks"))
+
+
+def ngram_stats(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """(ngram, n, freq, doc_freq) for n in 1..max_n over docs(doc_id, text).
+
+    Single scan: all n sizes are generated as one flattened array of
+    (n, ngram) structs per doc, then one explode — the union-of-explodes
+    alternative would scan the source max_n times.
+    """
+    toks = _tokens_df(docs)
+    tagged = ", ".join(
+        f"transform({spark_ngrams('toks', n)}, g -> struct({n} AS n, g AS ngram))"
+        for n in range(1, max_n + 1)
+    )
+    occ = toks.select(
+        "doc_id", F.explode(F.expr(f"flatten(array({tagged}))")).alias("o")
+    ).select("doc_id", "o.n", "o.ngram")
+    freq = occ.groupBy("n", "ngram").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    docf = (
+        occ.select("doc_id", "n", "ngram")
+        .distinct()
+        .groupBy("n", "ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+    )
+    return freq.join(docf, ["n", "ngram"])
+
+
+def ngram_stats_duck_sql(docs_rel: str, max_n: int = 3) -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({duck_ngrams(duck_tokens('text'), n)}) AS ngram "
+        f"FROM {docs_rel}"
+        for n in range(1, max_n + 1)
+    )
+    return f"""
+WITH occ AS ({unions})
+SELECT n, ngram, CAST(count(*) AS BIGINT) AS freq,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM occ GROUP BY n, ngram
+""".strip()
+
+
+def pmi(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """(ngram, n, freq, pmi) for n in 2..max_n.
+
+    p_ngram  = freq_n / total_count(n);  p_uni = freq_1 / total_count(1);
+    pmi      = log2((p_ngram + EPS) / (prod of part p_uni + EPS)).
+    Plan: unigram table broadcast-joined to exploded n-gram parts; the product
+    over parts becomes sum(log2 p) -> exp2 — one agg, no per-row Python.
+    """
+    stats = ngram_stats(docs, max_n).cache()
+    totals = stats.groupBy("n").agg(F.sum("freq").alias("total"))
+    uni = (
+        stats.filter(F.col("n") == 1)
+        .join(totals.filter(F.col("n") == 1).select("total"), how="cross")
+        .select(F.col("ngram").alias("word"), (F.col("freq") / F.col("total")).alias("p_uni"))
+    )
+    grams = (
+        stats.filter(F.col("n") >= 2)
+        .join(totals, "n")
+        .select("n", "ngram", "freq", (F.col("freq") / F.col("total")).alias("p_ng"))
+    )
+    parts = grams.select(
+        "n", "ngram", "freq", "p_ng", F.explode(F.split("ngram", " ")).alias("word")
+    )
+    joined = parts.join(F.broadcast(uni), "word")
+    return (
+        joined.groupBy("n", "ngram", "freq", "p_ng")
+        .agg(F.sum(F.log2("p_uni")).alias("sum_log_p"))
+        .select(
+            "ngram",
+            "n",
+            "freq",
+            F.round(
+                F.log2(
+                    (F.col("p_ng") + F.lit(EPS))
+                    / (F.pow(F.lit(2.0), F.col("sum_log_p")) + F.lit(EPS))
+                ),
+                ROUND,
+            ).alias("pmi"),
+        )
+    )
+
+
+def pmi_duck_sql(docs_rel: str, max_n: int = 3) -> str:
+    return f"""
+WITH stats AS ({ngram_stats_duck_sql(docs_rel, max_n)}),
+totals AS (SELECT n, CAST(sum(freq) AS DOUBLE) AS total FROM stats GROUP BY n),
+uni AS (SELECT s.ngram AS word, s.freq / t.total AS p_uni
+        FROM stats s JOIN totals t ON s.n = t.n WHERE s.n = 1),
+grams AS (SELECT s.n, s.ngram, s.freq, s.freq / t.total AS p_ng
+          FROM stats s JOIN totals t ON s.n = t.n WHERE s.n >= 2),
+parts AS (SELECT n, ngram, freq, p_ng, unnest(string_split(ngram, ' ')) AS word
+          FROM grams)
+SELECT p.ngram, p.n, p.freq,
+       round(log2((any_value(p.p_ng) + {EPS}) / (pow(2.0, sum(log2(u.p_uni))) + {EPS})), {ROUND}) AS pmi
+FROM parts p JOIN uni u USING (word)
+GROUP BY p.ngram, p.n, p.freq
+""".strip()
+
+
+def idf(docs: DataFrame, max_n: int = 2) -> DataFrame:
+    """(ngram, n, doc_freq, idf) — idf = ln((n_docs+EPS)/(doc_freq+EPS))."""
+    n_docs = docs.count()
+    return ngram_stats(docs, max_n).select(
+        "ngram",
+        "n",
+        "doc_freq",
+        F.round(
+            F.log((F.lit(float(n_docs)) + EPS) / (F.col("doc_freq") + EPS)), ROUND
+        ).alias("idf"),
+    )
+
+
+def idf_duck_sql(docs_rel: str, max_n: int = 2) -> str:
+    return f"""
+WITH stats AS ({ngram_stats_duck_sql(docs_rel, max_n)}),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {docs_rel})
+SELECT ngram, n, doc_freq,
+       round(ln((nd.n_docs + {EPS}) / (doc_freq + {EPS})), {ROUND}) AS idf
+FROM stats, nd
+""".strip()
+
+
+def neighbor_entropy(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(ngram, left_entropy, right_entropy) for word n-grams of size `n`.
+
+    Neighbors outside the document are the BOS/EOS sentinels. Entropy of the
+    neighbor distribution: -sum(p * log2 p). Two aggs: neighbor-pair counts,
+    then per-ngram entropy; both partial-aggregable.
+    """
+    toks = _tokens_df(docs)
+    zipped = toks.select(
+        F.explode(
+            F.expr(
+                f"""CASE WHEN size(toks) >= {n} THEN
+                transform(sequence(1, size(toks) - {n} + 1), i -> struct(
+                  concat_ws(' ', slice(toks, i, {n})) AS ngram,
+                  IF(i = 1, '{BOS}', element_at(toks, i - 1)) AS lft,
+                  IF(i + {n} > size(toks), '{EOS}', element_at(toks, i + {n})) AS rgt))
+                ELSE array() END"""
+            )
+        ).alias("z")
+    ).select("z.ngram", "z.lft", "z.rgt")
+
+    def ent(side: str) -> DataFrame:
+        cnt = zipped.groupBy("ngram", side).agg(F.count(F.lit(1)).alias("c"))
+        tot = cnt.groupBy("ngram").agg(F.sum("c").alias("t"))
+        return (
+            cnt.join(tot, "ngram")
+            .groupBy("ngram")
+            .agg(
+                F.round(
+                    -F.sum((F.col("c") / F.col("t")) * F.log2(F.col("c") / F.col("t"))),
+                    ROUND,
+                ).alias(f"{side}_entropy")
+            )
+        )
+
+    return ent("lft").join(ent("rgt"), "ngram").select(
+        "ngram",
+        F.col("lft_entropy").alias("left_entropy"),
+        F.col("rgt_entropy").alias("right_entropy"),
+    )
+
+
+def neighbor_entropy_duck_sql(docs_rel: str, n: int = 2) -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {docs_rel}),
+z AS (
+  SELECT unnest(CASE WHEN len(toks) >= {n} THEN
+           list_transform(range(len(toks) - {n} + 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))
+         ELSE [] END) AS ngram,
+         unnest(CASE WHEN len(toks) >= {n} THEN
+           list_transform(range(len(toks) - {n} + 1),
+             i -> coalesce(toks[i], '{BOS}'))
+         ELSE [] END) AS lft,
+         unnest(CASE WHEN len(toks) >= {n} THEN
+           list_transform(range(len(toks) - {n} + 1),
+             i -> coalesce(toks[i + {n} + 1], '{EOS}'))
+         ELSE [] END) AS rgt
+  FROM t
+),
+le AS (
+  SELECT ngram, round(-sum((c / t) * log2(c / t)), {ROUND}) AS left_entropy
+  FROM (SELECT ngram, lft, CAST(count(*) AS DOUBLE) AS c,
+               CAST(sum(count(*)) OVER (PARTITION BY ngram) AS DOUBLE) AS t
+        FROM z GROUP BY ngram, lft)
+  GROUP BY ngram
+),
+re AS (
+  SELECT ngram, round(-sum((c / t) * log2(c / t)), {ROUND}) AS right_entropy
+  FROM (SELECT ngram, rgt, CAST(count(*) AS DOUBLE) AS c,
+               CAST(sum(count(*)) OVER (PARTITION BY ngram) AS DOUBLE) AS t
+        FROM z GROUP BY ngram, rgt)
+  GROUP BY ngram
+)
+SELECT ngram, left_entropy, right_entropy FROM le JOIN re USING (ngram)
+""".strip()
+
+
+def phrase_candidates(
+    docs: DataFrame,
+    min_freq: int = 3,
+    min_len: int = 2,
+    max_n: int = 3,
+    topk: int = 200,
+    stopwords: tuple[str, ...] = ("a", "the"),
+) -> DataFrame:
+    """Frequent-phrase selection (selector.py:51-70, 107-135): n-grams with
+    freq >= min_freq, token length >= min_len, containing no stopword; global
+    top-k by (freq desc, ngram asc) for determinism."""
+    stats = ngram_stats(docs, max_n).filter(
+        (F.col("freq") >= min_freq) & (F.col("n") >= min_len)
+    )
+    stop_arr = ", ".join(f"'{s}'" for s in stopwords)
+    kept = stats.filter(
+        F.expr(f"size(array_intersect(split(ngram, ' '), array({stop_arr}))) = 0")
+    )
+    return (
+        kept.orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(topk)
+        .select("ngram", "n", "freq")
+    )
+
+
+def phrase_candidates_duck_sql(
+    docs_rel: str,
+    min_freq: int = 3,
+    min_len: int = 2,
+    max_n: int = 3,
+    topk: int = 200,
+    stopwords: tuple[str, ...] = ("a", "the"),
+) -> str:
+    stop_arr = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+WITH stats AS ({ngram_stats_duck_sql(docs_rel, max_n)})
+SELECT ngram, n, freq FROM stats
+WHERE freq >= {min_freq} AND n >= {min_len}
+  AND len(list_intersect(string_split(ngram, ' '), [{stop_arr}])) = 0
+ORDER BY freq DESC, ngram ASC
+LIMIT {topk}
+""".strip()

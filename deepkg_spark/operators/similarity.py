@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (ANN operators).
+
+Replaces the reference's faiss GpuIndexIVFFlat inner-product index
+(SimCSE-Chinese-Pytorch/simcse_unsup.py:44-76) with two Spark strategies:
+
+1. ``brute_force_topk`` (exact baseline) — delegated to
+   linking.dense_topk_frame / dense_topk_udf: broadcast candidates, JVM
+   zip_with dot product or Arrow GEMM, window top-k. Exact and deterministic;
+   O(Q x C) — right up to a few million candidates per executor.
+2. ``rp_lsh_topk`` (scale path) — signed-random-projection LSH: bucket key =
+   sign bits of dot(v, r_j) for nbits pinned-seed hyperplanes; candidates are
+   searched only within the query's bucket (equi-join on bucket id), top-k per
+   query inside the bucket. Sub-linear candidate work; recall measured against
+   the exact baseline in tests. The hyperplanes are literal constants in the
+   plan, so results are identical across engines and cluster sizes.
+
+Spark's MLlib BucketedRandomProjectionLSH covers L2 only and is not
+oracle-checkable; this implementation keeps inner-product semantics and
+engine portability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ROUND = 6
+DEFAULT_NBITS = 8
+SEED = 1234
+
+
+def _hyperplanes(dim: int, nbits: int = DEFAULT_NBITS, seed: int = SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim)).round(6)  # rounded -> exact literals
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray, engine: str) -> str:
+    """Bucket id = sum_j (dot(vec, r_j) > 0) << j, as a literal-array expr."""
+    terms = []
+    for j, row in enumerate(planes):
+        arr = ", ".join(f"{x!r}" for x in row.tolist())
+        if engine == "spark":
+            dot = (
+                f"aggregate(zip_with({vec_col}, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+        else:
+            dot = f"list_dot_product({vec_col}::DOUBLE[], [{arr}])"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    nbits: int = DEFAULT_NBITS,
+    dim: int | None = None,
+) -> DataFrame:
+    """(qid, cid, score, rank): top-k by inner product within the LSH bucket."""
+    if dim is None:
+        dim = len(queries.select("qvec").head()[0])
+    planes = _hyperplanes(dim, nbits)
+    qb = queries.withColumn("bucket", F.expr(_bucket_expr("qvec", planes, "spark")))
+    cb = candidates.withColumn("bucket", F.expr(_bucket_expr("cvec", planes, "spark")))
+    joined = qb.join(cb, "bucket").withColumn(
+        "score",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qvec, cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ),
+            ROUND,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score", "rank")
+    )
+
+
+def rp_lsh_topk_duck_sql(
+    queries_rel: str,
+    cand_rel: str,
+    dim: int,
+    k: int = 5,
+    nbits: int = DEFAULT_NBITS,
+) -> str:
+    planes = _hyperplanes(dim, nbits)
+    qb = _bucket_expr("qvec", planes, "duck")
+    cb = _bucket_expr("cvec", planes, "duck")
+    return f"""
+WITH qb AS (SELECT qid, qvec, {qb} AS bucket FROM {queries_rel}),
+cb AS (SELECT cid, cvec, {cb} AS bucket FROM {cand_rel}),
+scored AS (
+  SELECT qb.qid, cb.cid,
+         round(list_dot_product(qb.qvec::DOUBLE[], cb.cvec::DOUBLE[]), {ROUND}) AS score
+  FROM qb JOIN cb USING (bucket)
+)
+SELECT qid, cid, score, rank FROM (
+  SELECT qid, cid, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """Mean fraction of exact top-k retrieved by the approximate search
+    (the reference's recall analysis shape, Bulid_Data_Model.py:71-89)."""
+    hits = approx.select("qid", "cid").join(exact.select("qid", "cid"), ["qid", "cid"])
+    per_q = hits.groupBy("qid").agg((F.count(F.lit(1)) / k).alias("r"))
+    all_q = exact.select("qid").distinct()
+    joined = all_q.join(per_q, "qid", "left").select(
+        F.coalesce("r", F.lit(0.0)).alias("r")
+    )
+    return float(joined.agg(F.avg("r")).collect()[0][0])

@@ -1,0 +1,90 @@
+"""Text analysis + ANN operators vs DuckDB oracles."""
+
+from pyspark.sql import functions as F
+
+from deepkg_spark.operators.linking import dense_topk_frame
+from deepkg_spark.operators.similarity import recall_at_k, rp_lsh_topk, rp_lsh_topk_duck_sql
+from deepkg_spark.operators.textstats import (
+    fingerprints,
+    fingerprints_duck_sql,
+    lang_id,
+    lang_id_duck_sql,
+    quality_score,
+    quality_score_duck_sql,
+    token_counts,
+    token_counts_duck_sql,
+)
+from tests.compare import compare_spark_duck, duck_connect
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def test_lang_id(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    compare_spark_duck(lang_id(_docs(spark, sf_dir)), con, lang_id_duck_sql("documents"))
+
+
+def test_quality_score(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    df = quality_score(_docs(spark, sf_dir))
+    compare_spark_duck(df, con, quality_score_duck_sql("documents"))
+    vals = [r["quality"] for r in df.collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_token_counts(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    compare_spark_duck(
+        token_counts(_docs(spark, sf_dir)), con, token_counts_duck_sql("documents")
+    )
+
+
+def test_fingerprints(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    df = fingerprints(_docs(spark, sf_dir))
+    compare_spark_duck(df, con, fingerprints_duck_sql("documents"))
+    # shared-content property: identical docs share all fingerprints
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5)
+    dup = docs.union(docs.select(F.col("doc_id") + 1000, "text"))
+    fps = fingerprints(dup).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i in range(5):
+        assert by_doc[i] == by_doc[i + 1000]
+
+
+def _qc(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return q, c
+
+
+def test_rp_lsh_matches_duckdb(spark, sf_dir):
+    q, c = _qc(spark, sf_dir)
+    dim = len(q.select("qvec").head()[0])
+    con = duck_connect(sf_dir)
+    con.execute(
+        "CREATE VIEW lq AS SELECT vec_id AS qid, embedding AS qvec FROM embeddings "
+        "WHERE vec_id % 10 = 0"
+    )
+    con.execute("CREATE VIEW lc AS SELECT vec_id AS cid, embedding AS cvec FROM embeddings")
+    compare_spark_duck(
+        rp_lsh_topk(q, c, k=5), con, rp_lsh_topk_duck_sql("lq", "lc", dim=dim, k=5)
+    )
+
+
+def test_rp_lsh_recall_and_self_hit(spark, sf_dir):
+    q, c = _qc(spark, sf_dir)
+    approx = rp_lsh_topk(q, c, k=5).cache()
+    exact = dense_topk_frame(q, c, k=5).cache()
+    # a query is always in its own bucket -> self-match always retrieved
+    self_hits = approx.filter(F.col("qid") == F.col("cid")).count()
+    assert self_hits == q.count()
+    r = recall_at_k(approx, exact, k=5)
+    assert 0.2 <= r <= 1.0  # approximate, but deterministic given pinned planes
