@@ -31,7 +31,10 @@ from deepkg_spark.operators.linking import (
     dense_topk_duck_sql,
     dense_topk_frame,
     link_exact,
+    training_pairs,
+    training_pairs_duck_sql,
 )
+from deepkg_spark.operators.multimodal import frame_sample, media_features, synth_media
 from deepkg_spark.operators.dedup import (
     dedup_exact,
     dedup_exact_duck_sql,
@@ -65,7 +68,14 @@ from deepkg_spark.operators.phrases import (
     pmi,
     pmi_duck_sql,
 )
-from deepkg_spark.operators.similarity import rp_lsh_topk, rp_lsh_topk_duck_sql
+from deepkg_spark.operators.distant import distant_supervision, tie_or_break_spans
+from deepkg_spark.operators.phrases import phrase_candidates as _phrase_cand_for_dict
+from deepkg_spark.operators.sel import sel_roundtrip_triples
+from deepkg_spark.operators.similarity import (
+    recall_frame,
+    rp_lsh_topk,
+    rp_lsh_topk_duck_sql,
+)
 from deepkg_spark.operators.textstats import (
     fingerprints,
     fingerprints_duck_sql,
@@ -342,6 +352,107 @@ def _q_candidates(spark, sf_dir):
     return phrase_candidates(_docs(spark, sf_dir))
 
 
+def _q_link_pairs(spark, sf_dir):
+    """Hash-sampled (query, candidate, label) training pairs from BM25 ranks."""
+    return training_pairs(_q_link_bm25(spark, sf_dir), neg_per_pos=2)
+
+
+def _q_ann_recall(spark, sf_dir):
+    """recall@5 of LSH ANN vs exact ranking (candidate_query_analysis shape)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return recall_frame(rp_lsh_topk(q, c, k=5, dim=64), dense_topk_frame(q, c, k=5), 5)
+
+
+def _q_media_features(spark, sf_dir):
+    """Binary media column -> deterministic feature vectors (rows-only check:
+    the fake decode tiles a sha256 digest, not SQL-expressible)."""
+    return media_features(synth_media(spark, _docs(spark, sf_dir)))
+
+
+def _q_media_frames(spark, sf_dir):
+    """Video frame sampling (UDTF-shaped, rows-only check)."""
+    return frame_sample(synth_media(spark, _docs(spark, sf_dir)), every=10)
+
+
+def _q_sel_roundtrip(spark, sf_dir):
+    return sel_roundtrip_triples(load_corpus(spark, sf_dir))
+
+
+def _q_distant(spark, sf_dir):
+    """Distant supervision over documents with a corpus-mined dictionary
+    (top bigrams = core entries, top trigrams = noisy full entries).
+    DP segmentation is not SQL-expressible -> rows-only driver check."""
+    docs = _docs(spark, sf_dir)
+    core = _phrase_cand_for_dict(docs, min_freq=5, min_len=2, max_n=2, topk=30).select(
+        F.col("ngram").alias("surface"), F.lit("phrase").alias("type"), F.lit(True).alias("is_core")
+    )
+    full = _phrase_cand_for_dict(docs, min_freq=3, min_len=3, max_n=3, topk=20).select(
+        F.col("ngram").alias("surface"), F.lit("phrase3").alias("type"), F.lit(False).alias("is_core")
+    )
+    return distant_supervision(docs, core.unionByName(full))
+
+
+# deterministic labeled sequence derived from documents (portable SQL):
+# tie = token-hash % 3 == 1 (never at pos 0); type from token-hash % 4
+_LABELED_SQL_SPARK = """
+SELECT doc_id AS sent_id, pos, token,
+       (pos > 0 AND pmod({h}, 3) = 1) AS tie,
+       CASE pmod({h}, 4) WHEN 0 THEN 'O' ELSE concat('t', CAST(pmod({h}, 4) AS STRING)) END AS type
+FROM (SELECT doc_id, posexplode({toks}) AS (pos, token) FROM documents)
+"""
+
+_LABELED_SQL_DUCK = """
+SELECT doc_id AS sent_id, CAST(unnest(range(len({toks}))) AS INT) AS pos,
+       unnest({toks}) AS token
+FROM documents
+"""
+
+
+def _q_tie_or_break(spark, sf_dir):
+    from deepkg_spark.functions.hashing import spark_h32
+    from deepkg_spark.functions.text import spark_tokens
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    labeled = spark.sql(
+        _LABELED_SQL_SPARK.format(h=spark_h32("token"), toks=spark_tokens("text"))
+    )
+    return tie_or_break_spans(labeled)
+
+
+def _tie_or_break_oracle() -> str:
+    from deepkg_spark.functions.hashing import duck_h32
+    from deepkg_spark.functions.text import duck_tokens
+
+    h = duck_h32("token")
+    return f"""
+WITH toks AS ({_LABELED_SQL_DUCK.format(toks=duck_tokens('text')).strip()}),
+lab AS (
+  SELECT sent_id, pos, token,
+         (pos > 0 AND ({h}) % 3 = 1) AS tie,
+         CASE ({h}) % 4 WHEN 0 THEN 'O'
+              ELSE concat('t', CAST(({h}) % 4 AS VARCHAR)) END AS type
+  FROM toks
+),
+runs AS (
+  SELECT sent_id, pos, type,
+         sum(CASE WHEN tie THEN 0 ELSE 1 END)
+           OVER (PARTITION BY sent_id ORDER BY pos) AS grp
+  FROM lab
+)
+SELECT sent_id, CAST(min(pos) AS INT) AS start, CAST(max(pos) + 1 AS INT) AS "end",
+       min_by(type, pos) AS type
+FROM runs
+GROUP BY sent_id, grp
+HAVING min_by(type, pos) <> 'O'
+""".strip()
+
+
 _BM25_Q = "SELECT doc_id AS qid, text AS qtext FROM documents WHERE doc_id < 100"
 _BM25_D = "SELECT p_partkey AS term_id, p_name AS name FROM part"
 _DENSE_Q = "SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0"
@@ -387,6 +498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ph_idf": _q_idf,
         "ph_entropy": _q_entropy,
         "ph_candidates": _q_candidates,
+        "kg_sel_roundtrip": _q_sel_roundtrip,
+        "ner_distant_dp": _q_distant,
+        "ner_tie_or_break": _q_tie_or_break,
+        "kg_link_pairs": _q_link_pairs,
+        "ann_recall": _q_ann_recall,
+        "mm_media_features": _q_media_features,
+        "mm_frame_sample": _q_media_frames,
     }
 
 
@@ -430,4 +548,28 @@ def oracle_sql() -> dict[str, str]:
         "ph_idf": idf_duck_sql("documents", 2),
         "ph_entropy": neighbor_entropy_duck_sql("documents", 2),
         "ph_candidates": phrase_candidates_duck_sql("documents"),
+        "kg_sel_roundtrip": _with_corpus(
+            "SELECT repo, path, subj, subj_type, pred, obj, obj_type FROM ("
+            + triples_duck_sql()
+            + ") t"
+        ),
+        # ner_distant_dp: DP segmentation not SQL-expressible -> rows-only check
+        "ner_tie_or_break": _tie_or_break_oracle(),
+        "kg_link_pairs": training_pairs_duck_sql(
+            bm25_duck_sql(f"({_BM25_Q})", f"({_BM25_D})", topn=5), neg_per_pos=2
+        ),
+        "ann_recall": f"""
+WITH approx AS ({rp_lsh_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', dim=64, k=5)}),
+exact AS ({dense_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', k=5)}),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS DOUBLE) / 5 AS r
+  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+  GROUP BY a.qid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(coalesce(h.r, 0)), 6) AS mean_recall
+FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
+""".strip(),
+        # mm_media_features / mm_frame_sample: sha256-digest fake decode not
+        # SQL-expressible -> rows-only checks
     }

@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints exactly ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization —
+count() alone can prune expensive expressions). Run `python bench_scaling.py`
+for the N-vs-4N throughput scaling report (BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from deepkg_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs  # noqa: E402
+from deepkg_spark.operators.graph import edge_table, node_table  # noqa: E402
+from deepkg_spark.operators.linking import bm25_topn, dense_topk_udf  # noqa: E402
+from deepkg_spark.operators.phrases import pmi  # noqa: E402
+from deepkg_spark.operators.relations import triples_frame  # noqa: E402
+from deepkg_spark.operators.sel import sel_roundtrip_triples  # noqa: E402
+from deepkg_spark.operators.textstats import fingerprints, quality_score  # noqa: E402
+from deepkg_spark.session import get_spark  # noqa: E402
+from deepkg_spark.sources.corpus import load_corpus  # noqa: E402
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="deepkg-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    # testdata ships one parquet file per table -> Spark would scan with a
+    # single partition and serialize every narrow stage. A real 100 TB corpus
+    # arrives in thousands of splits; emulate that split-parallel input here.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(cpus)
+        .persist()
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
+    )
+    corpus = load_corpus(spark, sf_dir).repartition(cpus).persist()
+
+    q_docs = docs.select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+    ann_q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ann_c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+
+    queries = {
+        "kg_pipeline": lambda: (
+            _force(edge_table(triples_frame(corpus))),
+            _force(node_table(triples_frame(corpus))),
+        ),
+        "kg_sel_udf_pipeline": lambda: _force(sel_roundtrip_triples(corpus)),
+        "link_bm25": lambda: _force(bm25_topn(q_docs, part, topn=5)),
+        "ann_dense_topk": lambda: _force(dense_topk_udf(ann_q, ann_c, k=10)),
+        "dedup_minhash_lsh": lambda: _force(minhash_lsh_pairs(docs, tau=0.5)),
+        "dedup_simhash_pairs": lambda: _force(simhash_pairs(docs, max_hamming=3)),
+        "ph_pmi": lambda: _force(pmi(docs, 3)),
+        "text_fingerprints": lambda: _force(fingerprints(docs)),
+        "text_quality": lambda: _force(quality_score(docs)),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "deepkg_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -122,13 +122,16 @@ def minhash_lsh_pairs(
 
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= tau.
     """
-    sig = minhash_signatures(docs, n)
-    bands = None
-    for b, key in enumerate(_band_key_exprs()):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band_id"), F.expr(key).alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # signatures and shingles feed multiple joins below: persist both, or a
+    # self-join recomputes the full shingle scan once per reference
+    sig = minhash_signatures(docs, n).persist()
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, {key} AS band_key)"
+        for b, key in enumerate(_band_key_exprs())
+    )
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_key")
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )
@@ -142,7 +145,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = _shingles(docs, n)
+    sh = _shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
@@ -256,16 +259,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs within hamming distance, via byte-band
     LSH (a pair within distance 3 of 32 bits agrees on >= 1 of 4 bytes) +
     bit_count(xor) verification."""
-    sig = simhash(docs)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band_id"),
-            F.expr(f"(simhash >> {b * 8}) & 255").alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    sig = simhash(docs).persist()
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, shiftright(simhash, {b * 8}) & 255 AS band_key)"
+        for b in range(4)
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.expr(f"array({band_structs})")).alias("b")
+    ).select("doc_id", "simhash", "b.band_id", "b.band_key")
     left = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
         "band_id", "band_key",

@@ -96,8 +96,13 @@ def bm25_topn(
     d_tok = dictionary.select(
         "term_id", F.explode(F.expr(spark_tokens("name"))).alias("term")
     )
-    postings = d_tok.groupBy("term_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = postings.groupBy("term_id").agg(F.sum("tf").alias("dl"))
+    # postings feed doclen, df, and the scoring join, plus two scalar jobs
+    # (avgdl, avg_idf): persist once instead of re-tokenizing the dictionary
+    # five times (the reference pickles these same stats, BM25_Model.py:88-130)
+    postings = (
+        d_tok.groupBy("term_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    doclen = postings.groupBy("term_id").agg(F.sum("tf").alias("dl")).persist()
 
     n_docs = dictionary.count()
     avgdl_row = doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
@@ -117,7 +122,7 @@ def bm25_topn(
     ).select("term", "idf")
 
     scored = (
-        q_tok.join(postings, "term")
+        q_tok.join(F.broadcast(postings), "term")
         .join(F.broadcast(idf), "term")
         .join(F.broadcast(doclen), "term_id")
         .withColumn(
@@ -127,6 +132,11 @@ def bm25_topn(
             * (F.col("tf") * (k1 + 1))
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
         )
+        # one shuffle total: hash-partitioning by qid satisfies both the
+        # (qid, term_id) aggregation and the per-qid window below ((qid,
+        # term_id) groups are ~unique, so partial aggregation would not shrink
+        # the exchange — two back-to-back 10M-row shuffles for nothing)
+        .repartition(F.col("qid"))
         .groupBy("qid", "term_id")
         .agg(F.round(F.sum("part_score"), ROUND).alias("score"))
     )
@@ -185,6 +195,46 @@ SELECT qid, term_id, score, rank FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, term_id ASC) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {topn}
+""".strip()
+
+
+def training_pairs(ranked: DataFrame, neg_per_pos: int = 2) -> DataFrame:
+    """(qid, term_id, label) training pairs from ranked candidates.
+
+    Reference shape: positives = gold-linked terms, negatives = top
+    candidates not in gold, sampled at false_num_rate
+    (Normalization/recall/run.py:36-39, Bulid_Data_Model.py:111-143). Here:
+    positive = rank-1 candidate; negatives = deterministic HASH-sampled
+    lower ranks (pmod(h32(qid|term_id), ...) — seeded-rand-free so the
+    sample is identical across engines and cluster sizes).
+    """
+    from deepkg_spark.functions.hashing import spark_h32
+
+    pos = ranked.filter(F.col("rank") == 1).select(
+        "qid", "term_id", F.lit(1).alias("label")
+    )
+    # deterministic sample: keep rows whose pair-hash falls in the lowest
+    # neg_per_pos of 4 buckets
+    h = spark_h32("concat_ws('|', CAST(qid AS STRING), CAST(term_id AS STRING))")
+    neg = (
+        ranked.filter(F.col("rank") > 1)
+        .withColumn("_b", F.expr(f"pmod({h}, 4)"))
+        .filter(F.col("_b") < neg_per_pos)
+        .select("qid", "term_id", F.lit(0).alias("label"))
+    )
+    return pos.unionByName(neg)
+
+
+def training_pairs_duck_sql(ranked_sql: str, neg_per_pos: int = 2) -> str:
+    from deepkg_spark.functions.hashing import duck_h32
+
+    h = duck_h32("concat_ws('|', CAST(qid AS VARCHAR), CAST(term_id AS VARCHAR))")
+    return f"""
+WITH ranked AS ({ranked_sql})
+SELECT qid, term_id, 1 AS label FROM ranked WHERE rank = 1
+UNION ALL
+SELECT qid, term_id, 0 AS label FROM ranked
+WHERE rank > 1 AND ({h}) % 4 < {neg_per_pos}
 """.strip()
 
 

@@ -40,61 +40,46 @@ TRIPLE_SCHEMA = (
 # ---------------------------------------------------------------- JVM path
 
 def triples_frame(corpus: DataFrame) -> DataFrame:
-    """All four predicates as one JVM plan (no Python, no shuffle)."""
-    file_id = F.concat_ws("/", "repo", "path")
-
+    """All four predicates in ONE scan: each row projects an array of triple
+    structs (imports exploded, defines/calls/extends appended), then a single
+    explode. No Python, no shuffle, one pass over content — at corpus scale
+    this is 4x less scan+regex work than a union of per-predicate branches.
+    """
+    fid = "concat_ws('/', repo, path)"
+    rec = "named_struct('subj', {s}, 'subj_type', {st}, 'pred', {p}, 'obj', {o}, 'obj_type', {ot})"
     imports = (
+        "transform(array_distinct(regexp_extract_all(content, 'import (mod[0-9]+)', 1)), "
+        + "m -> "
+        + rec.format(s=fid, st="'file'", p="'imports'", o="m", ot="'module'")
+        + ")"
+    )
+    defines = rec.format(
+        s=fid, st="'file'", p="'defines'",
+        o="regexp_extract(content, 'def (fn[0-9]+)', 1)", ot="'function'",
+    )
+    calls = rec.format(
+        s="regexp_extract(content, 'def (fn[0-9]+)', 1)", st="'function'",
+        p="'calls'",
+        o="concat(regexp_extract(content, 'return (mod[0-9]+)', 1), '.call')",
+        ot="'callable'",
+    )
+    extends = rec.format(
+        s="regexp_extract(content, 'class (Cls[0-9]+)', 1)", st="'class'",
+        p="'extends'",
+        o="regexp_extract(content, '[(](Base[0-9]+)[)]', 1)", ot="'class'",
+    )
+    return (
         corpus.select(
             "repo",
             "path",
             F.explode(
-                F.expr("array_distinct(regexp_extract_all(content, 'import (mod[0-9]+)', 1))")
-            ).alias("obj"),
+                F.expr(f"concat({imports}, array({defines}, {calls}, {extends}))")
+            ).alias("t"),
         )
         .select(
-            "repo",
-            "path",
-            file_id.alias("subj"),
-            F.lit("file").alias("subj_type"),
-            F.lit("imports").alias("pred"),
-            "obj",
-            F.lit("module").alias("obj_type"),
+            "repo", "path", "t.subj", "t.subj_type", "t.pred", "t.obj", "t.obj_type"
         )
     )
-
-    defines = corpus.select(
-        "repo",
-        "path",
-        file_id.alias("subj"),
-        F.lit("file").alias("subj_type"),
-        F.lit("defines").alias("pred"),
-        F.regexp_extract("content", "def (fn[0-9]+)", 1).alias("obj"),
-        F.lit("function").alias("obj_type"),
-    )
-
-    calls = corpus.select(
-        "repo",
-        "path",
-        F.regexp_extract("content", "def (fn[0-9]+)", 1).alias("subj"),
-        F.lit("function").alias("subj_type"),
-        F.lit("calls").alias("pred"),
-        F.concat(
-            F.regexp_extract("content", "return (mod[0-9]+)", 1), F.lit(".call")
-        ).alias("obj"),
-        F.lit("callable").alias("obj_type"),
-    )
-
-    extends = corpus.select(
-        "repo",
-        "path",
-        F.regexp_extract("content", "class (Cls[0-9]+)", 1).alias("subj"),
-        F.lit("class").alias("subj_type"),
-        F.lit("extends").alias("pred"),
-        F.regexp_extract("content", "[(](Base[0-9]+)[)]", 1).alias("obj"),
-        F.lit("class").alias("obj_type"),
-    )
-
-    return imports.unionByName(defines).unionByName(calls).unionByName(extends)
 
 
 # ---------------------------------------------------------------- UDF path

@@ -1,0 +1,249 @@
+"""SEL (structured extraction language) serializer + parser -> records.
+
+Re-implements, from scratch, the semantics of the reference's UIE pipeline
+stage that turns a generated bracketed expression into typed records
+(citations into /root/reference/UIE_torch/uie/evaluation/):
+- bracket tokens: <extra_id_0> opens a node, <extra_id_1> closes it,
+  <extra_id_5> separates label from span text, <extra_id_6> is the null span
+  (constants.py:21-73).
+- serializer shape per spot: "<extra_id_0> TYPE <extra_id_5> SPAN
+  [<extra_id_0> ROLE <extra_id_5> SPAN <extra_id_1>]* <extra_id_1>"
+  (convert_spot_asoc, sel2record.py:995-1026).
+- ill-formed repair: unbalanced expressions are fixed by appending missing
+  closing brackets; unparseable input degrades to zero records
+  (sel2record.py:888-973, 1097-1102).
+- validation: spot/role labels outside the schema are dropped, spans that do
+  not occur in the source text are dropped (rewrite_label_span semantics,
+  sel2record.py:976-992), duplicate records are suppressed per doc
+  (sel2record.py:463-466).
+
+The parser is pure deterministic Python executed inside Arrow-batched
+mapInPandas (never per-row Python UDFs); the round-trip
+serialize(triples) -> parse -> records is oracle-checked against the plain
+regexp extraction path, giving the SEL machinery an exact correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TYPE_START = "<extra_id_0>"
+TYPE_END = "<extra_id_1>"
+SPAN_SPLIT = "<extra_id_5>"
+NULL_SPAN = "<extra_id_6>"
+
+
+@dataclass
+class RecordSchema:
+    """Extraction type system (sel2record.py:210-248 shape)."""
+
+    type_list: list[str]
+    role_list: list[str]
+    type_role_dict: dict[str, list[str]]
+    # role -> object entity type (engine addition: SEL carries no object type)
+    role_object_type: dict[str, str] = field(default_factory=dict)
+
+
+CODE_SCHEMA = RecordSchema(
+    type_list=["file", "function", "class"],
+    role_list=["imports", "defines", "calls", "extends"],
+    type_role_dict={
+        "file": ["imports", "defines"],
+        "function": ["calls"],
+        "class": ["extends"],
+    },
+    role_object_type={
+        "imports": "module",
+        "defines": "function",
+        "calls": "callable",
+        "extends": "class",
+    },
+)
+
+
+# ---------------------------------------------------------------- serializer
+
+def spot_asoc_to_sel(spots: list[tuple[str, str, list[tuple[str, str]]]]) -> str:
+    """[(spot_type, spot_text, [(role, text), ...])] -> SEL string."""
+    parts = []
+    for stype, stext, asocs in spots:
+        inner = "".join(
+            f"{TYPE_START} {role} {SPAN_SPLIT} {text} {TYPE_END} "
+            for role, text in asocs
+        )
+        parts.append(f"{TYPE_START} {stype} {SPAN_SPLIT} {stext} {inner}{TYPE_END} ")
+    return "".join(parts).strip()
+
+
+# ---------------------------------------------------------------- parser
+
+def _repair_brackets(tokens: list[str]) -> list[str]:
+    """Append missing closes / drop orphan closes (bracket-balancing repair)."""
+    depth = 0
+    out = []
+    for t in tokens:
+        if t == TYPE_START:
+            depth += 1
+        elif t == TYPE_END:
+            if depth == 0:
+                continue  # orphan close: drop
+            depth -= 1
+        out.append(t)
+    out.extend([TYPE_END] * depth)
+    return out
+
+
+def parse_sel(sel: str) -> list[tuple[str, str, list[tuple[str, str]]]]:
+    """SEL string -> [(spot_type, spot_text, [(role, text), ...])].
+
+    Recursive-descent over bracket tokens; nodes deeper than 2 levels and
+    nodes without a label/span split are dropped (degrade, never raise).
+    """
+    raw = sel.replace(TYPE_START, f" {TYPE_START} ").replace(
+        TYPE_END, f" {TYPE_END} "
+    ).replace(SPAN_SPLIT, f" {SPAN_SPLIT} ")
+    tokens = _repair_brackets(raw.split())
+
+    def parse_node(i: int) -> tuple[dict | None, int]:
+        # tokens[i] == TYPE_START; collect label, span, children
+        words: list[str] = []
+        label: str | None = None
+        children = []
+        i += 1
+        while i < len(tokens):
+            t = tokens[i]
+            if t == TYPE_START:
+                child, i = parse_node(i)
+                if child is not None:
+                    children.append(child)
+            elif t == TYPE_END:
+                span = " ".join(words).strip()
+                if label is None:  # no split marker: malformed node
+                    return None, i + 1
+                return {"label": label.strip(), "span": span, "children": children}, i + 1
+            elif t == SPAN_SPLIT:
+                label = " ".join(words)
+                words = []
+                i += 1
+                continue
+            else:
+                words.append(t)
+                i += 1
+                continue
+            # after child parse, loop continues without i increment here
+        return None, i
+
+    spots = []
+    i = 0
+    while i < len(tokens):
+        if tokens[i] == TYPE_START:
+            node, i = parse_node(i)
+            if node is not None:
+                asocs = [
+                    (c["label"], c["span"])
+                    for c in node["children"]
+                    if c["span"] != NULL_SPAN
+                ]
+                spots.append((node["label"], node["span"], asocs))
+        else:
+            i += 1
+    return spots
+
+
+def sel_to_relations(
+    sel: str, text: str, schema: RecordSchema
+) -> list[tuple[str, str, str, str, str]]:
+    """Parse + validate + dedup -> (subj, subj_type, pred, obj, obj_type).
+
+    Validation per rewrite_label_span semantics: spot label must be a schema
+    type, role must be legal for the spot type, and both spans must occur in
+    the source text.
+    """
+    seen: set[tuple] = set()
+    out = []
+    for stype, stext, asocs in parse_sel(sel):
+        if stype not in schema.type_list or stext not in text:
+            continue
+        for role, rtext in asocs:
+            if role not in schema.type_role_dict.get(stype, []):
+                continue
+            if rtext not in text:
+                continue
+            rec = (stext, stype, role, rtext, schema.role_object_type.get(role, ""))
+            if rec in seen:
+                continue
+            seen.add(rec)
+            out.append(rec)
+    return out
+
+
+# ---------------------------------------------------------------- Spark ops
+
+import re as _re
+
+_IMPORT_RE = _re.compile(r"import (mod[0-9]+)")
+_DEF_RE = _re.compile(r"def (fn[0-9]+)")
+_RETURN_RE = _re.compile(r"return (mod[0-9]+)")
+_CLASS_RE = _re.compile(r"class (Cls[0-9]+)\((Base[0-9]+)\)")
+
+
+def doc_to_spot_asoc(repo: str, path: str, content: str) -> list:
+    """Deterministic spot-asoc construction from the corpus grammar (plays
+    the role of the seq2seq generator; ordered prompts -> reproducible,
+    mirroring the eval-time ordered-SSI requirement,
+    data_collator_torch.py:292-297)."""
+    file_id = f"{repo}/{path}"
+    file_asocs = [("imports", m.group(1)) for m in _IMPORT_RE.finditer(content)]
+    dm = _DEF_RE.search(content)
+    spots = []
+    if dm:
+        file_asocs.append(("defines", dm.group(1)))
+    spots.append(("file", file_id, file_asocs))
+    if dm:
+        rm = _RETURN_RE.search(content)
+        if rm:
+            spots.append(("function", dm.group(1), [("calls", rm.group(1) + ".call")]))
+    cm = _CLASS_RE.search(content)
+    if cm:
+        spots.append(("class", cm.group(1), [("extends", cm.group(2))]))
+    return spots
+
+
+def sel_roundtrip_triples(corpus: DataFrame, schema: RecordSchema = CODE_SCHEMA) -> DataFrame:
+    """corpus -> SEL serialize -> parse -> validated relation records.
+
+    One narrow Arrow stage; output matches triples_frame exactly except that
+    'obj in text' validation requires the object surface to occur verbatim —
+    true for imports/defines/extends; for calls the object is 'modN.call'
+    which also occurs ('modN.call(x)'). The oracle is therefore the same
+    regexp-derived triple set.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("repo", "path", "subj", "subj_type", "pred", "obj", "obj_type")}
+            for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
+                # file_id contains '/'-joined repo/path which is not in the
+                # text; validate against text + file_id namespace
+                sel = spot_asoc_to_sel(doc_to_spot_asoc(repo, path, content))
+                ns = f"{repo}/{path}\n{content}"
+                for subj, stype, pred, obj, otype in sel_to_relations(sel, ns, schema):
+                    rows["repo"].append(repo)
+                    rows["path"].append(path)
+                    rows["subj"].append(subj)
+                    rows["subj_type"].append(stype)
+                    rows["pred"].append(pred)
+                    rows["obj"].append(obj)
+                    rows["obj_type"].append(otype)
+            yield pd.DataFrame(rows)
+
+    return corpus.select("repo", "path", "content").mapInPandas(
+        run,
+        schema="repo string, path string, subj string, subj_type string, "
+        "pred string, obj string, obj_type string",
+    )

@@ -108,6 +108,22 @@ SELECT qid, cid, score, rank FROM (
 """.strip()
 
 
+def recall_frame(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """1-row (n_queries, mean_recall): distributed recall@k of the
+    approximate search vs the exact ranking — the reference's recall
+    analysis shape (Normalization/recall/model/Bulid_Data_Model.py:71-89)."""
+    hits = approx.select("qid", "cid").join(exact.select("qid", "cid"), ["qid", "cid"])
+    per_q = hits.groupBy("qid").agg((F.count(F.lit(1)) / k).alias("r"))
+    all_q = exact.select("qid").distinct()
+    joined = all_q.join(per_q, "qid", "left").select(
+        F.coalesce("r", F.lit(0.0)).alias("r")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.avg("r"), 6).alias("mean_recall"),
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     """Mean fraction of exact top-k retrieved by the approximate search
     (the reference's recall analysis shape, Bulid_Data_Model.py:71-89)."""

@@ -1,0 +1,82 @@
+"""Structured Streaming ingestion for the KG pipeline.
+
+The reference is entirely batch (SURVEY.md 2.9: no streaming operators
+anywhere in the tree); this module is the engine's incremental-ingestion
+addition: new corpus files landing in a directory are picked up by a file
+stream, run through the SAME stateless extraction plan (mentions/triples are
+narrow per-document transforms -> streaming-safe with no watermarks needed),
+and committed append-only. foreachBatch gives exactly-once-per-epoch sinks
+and a place to update the checkpoint manifest.
+
+Also includes the watermarked event-window aggregation pattern (late-data
+tolerant) over the events table shape, since a production ingest monitors its
+own throughput/event streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def stream_triples(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+):
+    """File-stream corpus -> extraction plan -> append parquet sink.
+
+    Returns the started StreamingQuery; callers use availableNow semantics
+    (q.processAllAvailable()) in tests / trigger(availableNow=True) in prod.
+    `transform` defaults to the triple extractor and must be a stateless
+    DataFrame -> DataFrame function (narrow ops only).
+    """
+    from deepkg_spark.operators.relations import triples_frame
+
+    transform = transform or triples_frame
+    src = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    out = transform(src)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
+    """Watermarked 5-minute windows sliding by 1 minute over events(ts,
+    event_type, value): late data beyond 10 minutes is dropped."""
+    return (
+        # event-time must be TIMESTAMP (session-TZ, pinned UTC) — the test
+        # data ships TIMESTAMP_NTZ, which watermarks reject
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes", "1 minute"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )

@@ -1,0 +1,114 @@
+"""Multimodal binary plumbing + structured-streaming ingestion."""
+
+import shutil
+import tempfile
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepkg_spark.operators.multimodal import (
+    frame_sample,
+    media_features,
+    media_resize,
+    synth_media,
+)
+from deepkg_spark.operators.relations import triples_frame
+from deepkg_spark.sources.corpus import load_corpus
+from deepkg_spark.streaming.pipeline import stream_triples, windowed_event_counts
+
+
+def _media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return synth_media(spark, docs)
+
+
+def test_media_features_deterministic(spark, sf_dir):
+    m = _media(spark, sf_dir)
+    a = {r["media_id"]: tuple(r["feature"]) for r in media_features(m).collect()}
+    b = {
+        r["media_id"]: tuple(r["feature"])
+        for r in media_features(m.repartition(7)).collect()
+    }
+    assert a == b and len(a) > 0
+    assert all(len(v) == 16 for v in a.values())
+
+
+def test_media_resize_schema(spark, sf_dir):
+    out = media_resize(_media(spark, sf_dir), 8, 8).collect()
+    assert all(len(bytes(r["payload"])) == 64 for r in out)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 8 for r in out)
+
+
+def test_frame_sample_udtf_shape(spark, sf_dir):
+    m = _media(spark, sf_dir)
+    out = frame_sample(m, every=10).collect()
+    vids = m.filter(F.col("kind") == "video").collect()
+    expect = sum(len(range(0, r["meta"]["n_frames"], 10)) for r in vids)
+    assert len(out) == expect > 0
+    assert all(len(bytes(r["frame"])) == 32 for r in out)
+
+
+def test_codec_stub_raises(spark, sf_dir):
+    m = _media(spark, sf_dir).limit(1)
+    with pytest.raises(Exception) as ei:
+        media_features(m, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+
+
+def test_stream_triples_equals_batch(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    in_dir, out_dir, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        corpus.repartition(6).write.mode("overwrite").parquet(in_dir)
+        q = stream_triples(spark, in_dir, f"{out_dir}/t", f"{ckpt}/c")
+        q.processAllAvailable()
+        q.stop()
+        got = Counter(
+            tuple(r)
+            for r in spark.read.parquet(f"{out_dir}/t")
+            .drop("epoch_id")
+            .collect()
+        )
+        want = Counter(tuple(r) for r in triples_frame(corpus).collect())
+        assert got == want
+    finally:
+        for d in (in_dir, out_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_event_counts(spark, sf_dir):
+    """Drive the watermarked streaming agg with the events table as a
+    one-shot file stream; compare to the equivalent batch window agg."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        events.write.mode("overwrite").parquet(in_dir)
+        src = (
+            spark.readStream.schema(events.schema).parquet(in_dir)
+        )
+        agg = windowed_event_counts(src)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("wincounts")
+            .option("checkpointLocation", f"{ckpt}/c")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["window"]["start"], r["event_type"]): (r["n"], round(r["v"], 6))
+            for r in spark.sql("SELECT * FROM wincounts").collect()
+        }
+        want = {
+            (r["window"]["start"], r["event_type"]): (r["n"], round(r["v"], 6))
+            for r in events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "5 minutes", "1 minute"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        for d in (in_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

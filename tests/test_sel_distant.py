@@ -1,0 +1,138 @@
+"""SEL serialize/parse round-trip + distant supervision DP matcher."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from deepkg_spark.operators.distant import (
+    TokenTrie,
+    decode_tie_or_break,
+    distant_supervision,
+    segment_dp,
+    tie_or_break_spans,
+)
+from deepkg_spark.operators.relations import TRIPLE_COLS, triples_frame
+from deepkg_spark.operators.sel import (
+    CODE_SCHEMA,
+    parse_sel,
+    sel_roundtrip_triples,
+    sel_to_relations,
+    spot_asoc_to_sel,
+)
+from deepkg_spark.sources.corpus import load_corpus
+
+
+# ---------------------------------------------------------------- SEL unit
+
+def test_sel_roundtrip_unit():
+    spots = [
+        ("file", "org/repo1/src/f.py", [("imports", "mod7"), ("defines", "fn3")]),
+        ("function", "fn3", [("calls", "mod7.call")]),
+    ]
+    sel = spot_asoc_to_sel(spots)
+    assert parse_sel(sel) == spots
+
+
+def test_sel_repair_unbalanced():
+    # missing final close bracket -> repaired by appending
+    sel = "<extra_id_0> file <extra_id_5> f.py <extra_id_0> imports <extra_id_5> mod1 <extra_id_1>"
+    assert parse_sel(sel) == [("file", "f.py", [("imports", "mod1")])]
+    # orphan close -> dropped
+    assert parse_sel("<extra_id_1> garbage") == []
+    # no split marker -> node dropped
+    assert parse_sel("<extra_id_0> justwords <extra_id_1>") == []
+
+
+def test_sel_validation_drops():
+    text = "f.py mod1 fn9"
+    ok = [("file", "f.py", [("imports", "mod1")])]
+    assert sel_to_relations(spot_asoc_to_sel(ok), text, CODE_SCHEMA) == [
+        ("f.py", "file", "imports", "mod1", "module")
+    ]
+    # label not in schema -> dropped
+    bad_type = [("alien", "f.py", [("imports", "mod1")])]
+    assert sel_to_relations(spot_asoc_to_sel(bad_type), text, CODE_SCHEMA) == []
+    # role illegal for spot type -> dropped
+    bad_role = [("function", "fn9", [("imports", "mod1")])]
+    assert sel_to_relations(spot_asoc_to_sel(bad_role), text, CODE_SCHEMA) == []
+    # span not in text -> dropped
+    missing = [("file", "f.py", [("imports", "mod999")])]
+    assert sel_to_relations(spot_asoc_to_sel(missing), text, CODE_SCHEMA) == []
+    # null span -> dropped at parse
+    nul = "<extra_id_0> file <extra_id_5> f.py <extra_id_0> imports <extra_id_5> <extra_id_6> <extra_id_1> <extra_id_1>"
+    assert sel_to_relations(nul, text, CODE_SCHEMA) == []
+    # duplicates -> suppressed
+    dup = [("file", "f.py", [("imports", "mod1"), ("imports", "mod1")])]
+    assert len(sel_to_relations(spot_asoc_to_sel(dup), text, CODE_SCHEMA)) == 1
+
+
+def test_sel_roundtrip_equals_regexp_path(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    a = Counter(tuple(r) for r in sel_roundtrip_triples(corpus).collect())
+    b = Counter(
+        tuple(r) for r in triples_frame(corpus).select(
+            "repo", "path", "subj", "subj_type", "pred", "obj", "obj_type"
+        ).collect()
+    )
+    assert a == b and sum(a.values()) > 0
+
+
+# ---------------------------------------------------------------- distant DP
+
+def _trie():
+    return TokenTrie(
+        [
+            ("big table", "obj", 1.0),
+            ("table", "obj", 1.0),
+            ("big", "adj", 1.0),
+            ("fast big table scan", "op", 0.5),
+        ]
+    )
+
+
+def test_segment_dp_prefers_len_squared():
+    # "big table" as one 2-token match (score 4) beats two 1-token (1+1)
+    segs = segment_dp("the big table scan".split(), _trie())
+    assert (1, 3, "obj") in segs
+
+
+def test_segment_dp_weighting():
+    # 4-token noisy match: 0.5*16 = 8 > core "big table"(4) + nothing else
+    segs = segment_dp("fast big table scan".split(), _trie())
+    assert segs == [(0, 4, "op")]
+    # but with core weight on the long match it also wins outright
+    trie2 = TokenTrie([("big table", "obj", 1.0), ("fast big table scan", "op", 0.2)])
+    assert segment_dp("fast big table scan".split(), trie2) == [(1, 3, "obj")]
+
+
+def test_distant_supervision_frame(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dictionary = spark.createDataFrame(
+        [("big table", "obj", True), ("fast", "adj", True), ("slow query", "obj", False)],
+        ["surface", "type", "is_core"],
+    )
+    out = distant_supervision(docs, dictionary)
+    rows = out.collect()
+    assert len(rows) > 0
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        toks = [t for t in texts[r["doc_id"]].split(" ") if t]
+        assert " ".join(toks[r["start_tok"] : r["end_tok"]]) == r["surface"]
+    # determinism across parallelism
+    a = Counter(tuple(r) for r in out.collect())
+    b = Counter(tuple(r) for r in distant_supervision(docs.repartition(7), dictionary).collect())
+    assert a == b
+
+
+def test_tie_or_break(spark):
+    tokens = ["acute", "renal", "failure", "and", "pain"]
+    ties = [False, True, True, False, False]
+    types = ["disease", "disease", "disease", "O", "symptom"]
+    assert decode_tie_or_break(tokens, ties, types) == [
+        (0, 3, "disease"),
+        (4, 5, "symptom"),
+    ]
+    rows = [(0, i, tokens[i], ties[i], types[i]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["sent_id", "pos", "token", "tie", "type"])
+    got = {tuple(r) for r in tie_or_break_spans(df).collect()}
+    assert got == {(0, 0, 3, "disease"), (0, 4, 5, "symptom")}
