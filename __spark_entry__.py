@@ -69,6 +69,12 @@ from deepkg_spark.operators.phrases import (
     pmi_duck_sql,
 )
 from deepkg_spark.operators.distant import distant_supervision, tie_or_break_spans
+from deepkg_spark.operators.events import (
+    sessionize,
+    sessionize_duck_sql,
+    windowed_counts,
+    windowed_counts_duck_sql,
+)
 from deepkg_spark.operators.phrases import phrase_candidates as _phrase_cand_for_dict
 from deepkg_spark.operators.sel import sel_roundtrip_triples
 from deepkg_spark.operators.similarity import (
@@ -88,6 +94,7 @@ from deepkg_spark.operators.textstats import (
 )
 from deepkg_spark.operators.relations import (
     TRIPLE_COLS,
+    gold_offsets_sql,
     gold_triples_sql,
     triples_duck_sql,
     triples_frame,
@@ -378,6 +385,20 @@ def _q_media_frames(spark, sf_dir):
     return frame_sample(synth_media(spark, _docs(spark, sf_dir)), every=10)
 
 
+def _q_ev_windows(spark, sf_dir):
+    return windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_ev_sessions(spark, sf_dir):
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_triples_offsets(spark, sf_dir):
+    """Offset-level triple extraction (Arrow UDF path, char offsets) against
+    the arithmetic offset gold — the offset-level P/R evidence."""
+    return triples_udf(load_corpus(spark, sf_dir))
+
+
 def _q_sel_roundtrip(spark, sf_dir):
     return sel_roundtrip_triples(load_corpus(spark, sf_dir))
 
@@ -501,7 +522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sel_roundtrip": _q_sel_roundtrip,
         "ner_distant_dp": _q_distant,
         "ner_tie_or_break": _q_tie_or_break,
+        "kg_triples_offsets": _q_triples_offsets,
         "kg_link_pairs": _q_link_pairs,
+        "ev_windowed_counts": _q_ev_windows,
+        "ev_sessions": _q_ev_sessions,
         "ann_recall": _q_ann_recall,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_media_frames,
@@ -555,6 +579,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ner_distant_dp: DP segmentation not SQL-expressible -> rows-only check
         "ner_tie_or_break": _tie_or_break_oracle(),
+        "kg_triples_offsets": gold_offsets_sql(),
+        "ev_windowed_counts": windowed_counts_duck_sql(),
+        "ev_sessions": sessionize_duck_sql(),
         "kg_link_pairs": training_pairs_duck_sql(
             bm25_duck_sql(f"({_BM25_Q})", f"({_BM25_D})", topn=5), neg_per_pos=2
         ),

@@ -87,6 +87,31 @@ GROUP BY norm_surface, mention_type
 """.strip()
 
 
+def normalize_surfaces(df: DataFrame, col: str = "surface") -> DataFrame:
+    """Adds `norm_full`: full-fidelity normalization (Q2B full->half width +
+    NFD + combining-mark strip + lower; reference chains
+    ExtractionEntities/utils/tools.py:47-75 and autophrasex/utils.py:33-42)
+    as an Arrow-batched stage — neither engine exposes NFD in SQL, so this
+    path is covered by python-reference tests instead of a DuckDB oracle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from deepkg_spark.functions.text import normalize_series
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", norm_full string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["norm_full"] = normalize_series(pdf[col])
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def salted_repartition(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     """Hot-key spreading for joins: adds a deterministic salt column and
     repartitions on (key, salt). The other join side is exploded over the

@@ -23,6 +23,8 @@ strictly wider than ngram alone.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -235,6 +237,97 @@ re AS (
 )
 SELECT ngram, left_entropy, right_entropy FROM le JOIN re USING (ngram)
 """.strip()
+
+
+def phrase_features(docs: DataFrame, max_n: int = 3, min_freq: int = 3) -> DataFrame:
+    """(ngram, n, freq, doc_freq, pmi, idf, left_entropy, right_entropy) for
+    multi-word candidates — the AutoPhrase feature table
+    (extractors.py:101-290) assembled from the distributed aggs above."""
+    p = pmi(docs, max_n).filter(F.col("freq") >= min_freq)
+    i = idf(docs, max_n).select("ngram", "idf", "doc_freq")
+    ents = [neighbor_entropy(docs, n) for n in range(2, max_n + 1)]
+    e = ents[0]
+    for x in ents[1:]:
+        e = e.unionByName(x)
+    return (
+        p.join(i, "ngram")
+        .join(e, "ngram")
+        .select(
+            "ngram", "n", "freq", "doc_freq", "pmi", "idf",
+            "left_entropy", "right_entropy",
+        )
+    )
+
+
+def phrase_quality_scores(
+    docs: DataFrame,
+    quality_phrases: set[str],
+    max_n: int = 3,
+    min_freq: int = 3,
+    threshold: float = 0.9,
+    max_rounds: int = 5,
+    epochs: int = 200,
+    lr: float = 0.5,
+) -> pd.DataFrame:
+    """AutoPhrase-style distant-supervision loop (autophrase.py:63-148,
+    168-228 semantics, re-implemented):
+
+      pos pool = candidates in the quality set, neg pool = the rest
+      (autophrase.py:184-216); per round: fit a classifier on pos vs neg,
+      score the neg pool, PROMOTE prob > threshold into pos
+      (autophrase.py:168-182); stop when nothing promotes (early stopping,
+      callbacks.py) or max_rounds.
+
+    The feature table is distributed aggregation output; the candidate set is
+    small (reference: topk phrases), so the training loop runs driver-side —
+    same topology as the reference's in-process GBDT over collected stats.
+    sklearn is not shipped here; the classifier is a deterministic numpy
+    logistic regression (zero init, full-batch GD, standardized features).
+
+    Returns a pandas DataFrame (ngram, prob, is_quality, round_promoted),
+    sorted by (-prob, ngram) — prediction ranking (autophrase.py:143-144).
+    """
+    feats = phrase_features(docs, max_n, min_freq).toPandas()
+    cols = ["freq", "doc_freq", "pmi", "idf", "left_entropy", "right_entropy"]
+    X = feats[cols].to_numpy(dtype=np.float64)
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    X = (X - mu) / sd
+    X = np.hstack([X, np.ones((len(X), 1))])
+    pos = feats["ngram"].isin(quality_phrases).to_numpy()
+    promoted_round = np.where(pos, 0, -1)
+
+    def fit(y: np.ndarray) -> np.ndarray:
+        w = np.zeros(X.shape[1])
+        for _ in range(epochs):
+            z = 1.0 / (1.0 + np.exp(-X @ w))
+            w -= lr * (X.T @ (z - y)) / len(y)
+        return w
+
+    prob = np.zeros(len(X))
+    for rnd in range(1, max_rounds + 1):
+        y = pos.astype(np.float64)
+        if y.sum() == 0 or y.sum() == len(y):
+            break
+        w = fit(y)
+        prob = 1.0 / (1.0 + np.exp(-X @ w))
+        promote = (~pos) & (prob > threshold)
+        if not promote.any():
+            break
+        promoted_round[promote] = rnd
+        pos = pos | promote
+
+    out = pd.DataFrame(
+        {
+            "ngram": feats["ngram"],
+            "prob": np.round(prob, 6),
+            "is_quality": pos,
+            "round_promoted": promoted_round,
+        }
+    )
+    return out.sort_values(["prob", "ngram"], ascending=[False, True]).reset_index(
+        drop=True
+    )
 
 
 def phrase_candidates(

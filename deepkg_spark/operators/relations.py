@@ -166,6 +166,63 @@ FROM {corpus_rel}
 """.strip()
 
 
+def gold_offsets_sql(documents_rel: str = "documents") -> str:
+    """Engine-portable SQL deriving triples WITH char offsets arithmetically
+    from the content grammar — the offset-level gold fixture (north-star
+    metric is P/R at string AND offset level; reference offset tuples:
+    scorer.py:292-313). 0-based offsets, closed grammar:
+
+      l1 'import mod<a>\\n'  len 11+la      mod_a at 7
+      l2 'import mod<b>\\n'  len 11+lb      mod_b at 18+la
+      l3 'def fn<d>(x):\\n'  len 11+ld      fn_d  at 26+la+lb
+      l4 '    return mod<a>.call(x) + "<s>"\\n' len 28+la+ls
+                                           mod_a at 44+la+lb+ld
+      l5 'class Cls<d>(Base<b>):\\n'        Cls_d at 67+2*la+lb+ld+ls
+                                           Base_b at 71+2*la+lb+2*ld+ls
+    Duplicate import (a == b) keeps only the first occurrence, matching the
+    extractor's per-doc dedup."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(doc_id % 97 AS STRING) AS a,
+         CAST((doc_id * 7 + 3) % 97 AS STRING) AS b,
+         CAST(doc_id AS STRING) AS d,
+         least(length(text), 48) AS ls
+  FROM {documents_rel}
+), m AS (
+  SELECT doc_id, a, b, d, ls,
+         length(a) AS la, length(b) AS lb, length(d) AS ld,
+         concat('org/repo', CAST(doc_id % 20 AS STRING)) AS repo,
+         concat('src/file_', d, '.py') AS path
+  FROM t
+)
+SELECT repo, path, concat(repo, '/', path) AS subj, 'file' AS subj_type,
+       'imports' AS pred, concat('mod', a) AS obj, 'module' AS obj_type,
+       CAST(-1 AS INT) AS subj_start, CAST(7 AS INT) AS obj_start
+FROM m
+UNION ALL
+SELECT repo, path, concat(repo, '/', path), 'file', 'imports',
+       concat('mod', b), 'module', CAST(-1 AS INT), CAST(18 + la AS INT)
+FROM m WHERE a <> b
+UNION ALL
+SELECT repo, path, concat(repo, '/', path), 'file', 'defines',
+       concat('fn', d), 'function', CAST(-1 AS INT),
+       CAST(26 + la + lb AS INT)
+FROM m
+UNION ALL
+SELECT repo, path, concat('fn', d), 'function', 'calls',
+       concat('mod', a, '.call'), 'callable', CAST(26 + la + lb AS INT),
+       CAST(44 + la + lb + ld AS INT)
+FROM m
+UNION ALL
+SELECT repo, path, concat('Cls', d), 'class', 'extends',
+       concat('Base', b), 'class',
+       CAST(67 + 2 * la + lb + ld + ls AS INT),
+       CAST(71 + 2 * la + lb + 2 * ld + ls AS INT)
+FROM m
+""".strip()
+
+
 # ---------------------------------------------------------------- gold fixture
 
 def gold_triples_sql(documents_rel: str = "documents") -> str:
