@@ -38,13 +38,30 @@ class PRF1:
     pred_num: float = 0.0
 
     def count_instance(
-        self, gold_list: Iterable[Hashable], pred_list: Iterable[Hashable]
+        self,
+        gold_list: Iterable[Hashable],
+        pred_list: Iterable[Hashable],
+        mode: str = "normal",
     ) -> None:
-        """Multiset match: each pred consumes one remaining gold copy."""
+        """Per-document matching in the reference's three modes
+        (scorer.py:79-111):
+        - 'normal'     multiset match: each pred consumes one remaining gold
+                       copy (one-gold-one-match removal);
+        - 'set'        both sides deduplicated before exact-set matching;
+        - 'multimatch' every pred that occurs in gold counts, gold copies are
+                       NOT consumed (gold_num still counts the full list).
+        """
         gold_list = list(gold_list)
         pred_list = list(pred_list)
+        if mode == "set":
+            gold_list = list(dict.fromkeys(gold_list))
+            pred_list = list(dict.fromkeys(pred_list))
         self.gold_num += len(gold_list)
         self.pred_num += len(pred_list)
+        if mode == "multimatch":
+            gold_set = set(gold_list)
+            self.tp += sum(1 for p in pred_list if p in gold_set)
+            return
         remaining = list(gold_list)
         for p in pred_list:
             if p in remaining:
@@ -75,23 +92,38 @@ class PRF1:
 
 
 def score_python(
-    gold: Iterable[tuple], pred: Iterable[tuple], doc_key_len: int = 0
+    gold: Iterable[tuple],
+    pred: Iterable[tuple],
+    doc_key_len: int = 0,
+    mode: str = "normal",
+    variant: str = "strict",
 ) -> PRF1:
     """Reference-style scoring. When doc_key_len > 0, the first doc_key_len
     tuple fields group records per document and matching happens within each
-    document (scorer semantics: per-sentence count_instance)."""
+    document (scorer semantics: per-sentence count_instance).
+
+    `variant` (scorer.py:380-435): 'strict' matches full typed tuples;
+    'boundary' drops the type fields before matching — for the engine's
+    triple tuples (subj, subj_type, pred, obj, obj_type[, offsets...]) the
+    type fields are positions 1 and 4 within the record."""
+
+    def project(t: tuple) -> tuple:
+        if variant == "strict":
+            return t
+        return tuple(v for i, v in enumerate(t) if i not in (1, 4))
+
     m = PRF1()
     if doc_key_len == 0:
-        m.count_instance(list(gold), list(pred))
+        m.count_instance([project(t) for t in gold], [project(t) for t in pred], mode)
         return m
     gdocs: dict[tuple, list] = {}
     pdocs: dict[tuple, list] = {}
     for t in gold:
-        gdocs.setdefault(t[:doc_key_len], []).append(t[doc_key_len:])
+        gdocs.setdefault(t[:doc_key_len], []).append(project(t[doc_key_len:]))
     for t in pred:
-        pdocs.setdefault(t[:doc_key_len], []).append(t[doc_key_len:])
+        pdocs.setdefault(t[:doc_key_len], []).append(project(t[doc_key_len:]))
     for k in set(gdocs) | set(pdocs):
-        m.count_instance(gdocs.get(k, []), pdocs.get(k, []))
+        m.count_instance(gdocs.get(k, []), pdocs.get(k, []), mode)
     return m
 
 

@@ -38,11 +38,16 @@ def canonical_entities(mentions: DataFrame, n_salts: int = 16) -> DataFrame:
     Distinct-variant counting runs on the (norm, surface) dedup'd frame whose
     key is strictly wider (hence strictly less skewed) than norm alone.
     """
+    # the salt must vary WITHIN a key (a salt that is a function of the key
+    # would re-concentrate the hot key into one group). It is physical-only:
+    # phase 2 folds the salts back together, so row-position-derived salts
+    # never influence results — monotonically_increasing_id is banned for
+    # OUTPUT ids, not for partial-aggregation spreading.
     base = mentions.select(
         F.expr(NORM).alias("norm_surface"),
         F.col("mention_type"),
         F.col("surface"),
-        F.expr(f"pmod({spark_h32('surface')}, {n_salts})").alias("_salt"),
+        (F.monotonically_increasing_id() % n_salts).alias("_salt"),
     )
     phase1 = base.groupBy("norm_surface", "mention_type", "_salt").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -113,10 +118,12 @@ def normalize_surfaces(df: DataFrame, col: str = "surface") -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
-    """Hot-key spreading for joins: adds a deterministic salt column and
-    repartitions on (key, salt). The other join side is exploded over the
-    salt range. Use when AQE skew-join cannot see the skew (e.g. after a
-    UDF stage with no stats)."""
+    """Hot-key spreading for joins: adds a row-varying salt column and
+    repartitions on (key, salt); the other (small) join side is exploded over
+    the full salt range [0, n_salts). Use when AQE skew-join cannot see the
+    skew (e.g. after a UDF stage with no stats). The salt is physical-only —
+    join results are unchanged because every salt value carries the full
+    small-side row set."""
     return df.withColumn(
-        "_salt", F.expr(f"pmod({spark_h32(key)}, {n_salts})")
+        "_salt", F.monotonically_increasing_id() % n_salts
     ).repartition(F.col(key), F.col("_salt"))

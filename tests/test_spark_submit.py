@@ -1,0 +1,35 @@
+"""Deployability: the packaged engine runs via spark-submit --py-files."""
+
+import json
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_py_files(sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", "/root/repo", "deepkg_spark")
+        out = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--py-files", zip_path,
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=2",
+                "/root/repo/deepkg_spark/cli.py",
+                "--job", "graph",
+                "--sf-dir", sf_dir,
+                "--out", f"{tmp}/out",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        payload = [l for l in out.stdout.splitlines() if l.startswith('{"job"')]
+        assert payload, out.stdout[-2000:]
+        res = json.loads(payload[-1])
+        assert res["edges"] > 0 and res["nodes"] > 0

@@ -24,6 +24,26 @@ def test_count_instance_multiset_semantics():
     assert (m2.tp, m2.gold_num, m2.pred_num) == (m.tp, m.gold_num, m.pred_num)
 
 
+def test_count_instance_modes():
+    """set / normal / multimatch semantics (scorer.py:79-111)."""
+    gold, pred = ["a", "a", "b"], ["a", "a", "a", "c"]
+    m_set = PRF1()
+    m_set.count_instance(gold, pred, mode="set")
+    assert (m_set.tp, m_set.gold_num, m_set.pred_num) == (1, 2, 2)
+    m_multi = PRF1()
+    m_multi.count_instance(gold, pred, mode="multimatch")
+    assert (m_multi.tp, m_multi.gold_num, m_multi.pred_num) == (3, 3, 4)
+
+
+def test_strict_vs_boundary_variant():
+    """boundary ignores entity types (scorer.py:380-435)."""
+    gold = [("d1", "x", "T1", "rel", "y", "T2")]
+    pred = [("d1", "x", "WRONG", "rel", "y", "T2")]
+    strict = score_python(gold, pred, doc_key_len=1, variant="strict")
+    boundary = score_python(gold, pred, doc_key_len=1, variant="boundary")
+    assert strict.tp == 0 and boundary.tp == 1
+
+
 def test_udf_equals_frame_triples(spark, sf_dir):
     corpus = load_corpus(spark, sf_dir)
     f = Counter(tuple(r) for r in triples_frame(corpus).select(*TRIPLE_COLS).collect())
