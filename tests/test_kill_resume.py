@@ -1,0 +1,85 @@
+"""Kill-and-resume: a separate process is SIGKILLed with the manifest in a
+partial state; a fresh process resumes and the final output equals an
+uninterrupted run (north_rule: resumable from checkpoint with per-partition
+lineage)."""
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from deepkg_spark.checkpoint import run_incremental
+from deepkg_spark.operators.relations import triples_frame
+from deepkg_spark.session import get_spark
+from deepkg_spark.sources.corpus import load_corpus
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+spark = get_spark(master="local[2]", shuffle_partitions=2, app_name="kill-child")
+corpus = load_corpus(spark, sf_dir)
+# commit 3 of 8 splits, then hang: the parent SIGKILLs us mid-"job"
+run_incremental(spark, corpus, triples_frame, out_dir, "kj", n_splits=8,
+                only_splits={0, 1, 2})
+print("PARTIAL_COMMITTED", flush=True)
+time.sleep(120)
+"""
+
+
+def test_sigkill_then_resume(spark, sf_dir):
+    out_dir = tempfile.mkdtemp()
+    ref_dir = tempfile.mkdtemp()
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", CHILD, sf_dir, out_dir],
+            stdout=subprocess.PIPE, text=True,
+        )
+        # wait for the partial commit, then SIGKILL (no cleanup, no atexit)
+        line = ""
+        t0 = time.time()
+        while time.time() - t0 < 180:
+            line = proc.stdout.readline()
+            if "PARTIAL_COMMITTED" in line:
+                break
+        assert "PARTIAL_COMMITTED" in line
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+        # resume in THIS process; then compare against an uninterrupted run
+        from deepkg_spark.checkpoint import run_incremental
+        from deepkg_spark.operators.relations import triples_frame
+        from deepkg_spark.sources.corpus import load_corpus
+
+        corpus = load_corpus(spark, sf_dir)
+        r = run_incremental(spark, corpus, triples_frame, out_dir, "kj", n_splits=8)
+        assert 0 < r["processed"] <= 5
+        run_incremental(spark, corpus, triples_frame, ref_dir, "kj", n_splits=8)
+
+        resumed = {
+            tuple(x)
+            for x in spark.read.parquet(f"{out_dir}/data").drop("split_id").collect()
+        }
+        oneshot = {
+            tuple(x)
+            for x in spark.read.parquet(f"{ref_dir}/data").drop("split_id").collect()
+        }
+        assert resumed == oneshot and len(resumed) > 0
+
+        # manifests agree on lineage counters
+        m1 = {
+            (x["split_id"], x["row_count"], x["checksum"])
+            for x in spark.read.parquet(f"{out_dir}/_manifest").collect()
+        }
+        m2 = {
+            (x["split_id"], x["row_count"], x["checksum"])
+            for x in spark.read.parquet(f"{ref_dir}/_manifest").collect()
+        }
+        assert m1 == m2
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ref_dir, ignore_errors=True)
