@@ -69,6 +69,44 @@ def stream_triples(
     )
 
 
+def stream_dedup_exact(docs_stream: DataFrame):
+    """Custom stateful streaming operator: exact dedup ACROSS micro-batches
+    via applyInPandasWithState. State per content hash = number of copies
+    seen so far; only a hash's first-ever row is emitted. This is the
+    streaming twin of operators/dedup.dedup_exact — late duplicates arriving
+    in any later micro-batch are suppressed.
+
+    Input stream must carry (doc_id long, text string). Output:
+    (content_md5 string, doc_id long).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs_stream.withColumn("content_md5", F.md5("text"))
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        first = None
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if first is None and len(pdf):
+                first = int(pdf["doc_id"].min())
+        if seen == 0 and n > 0:
+            yield pd.DataFrame({"content_md5": [key[0]], "doc_id": [first]})
+        state.update((seen + n,))
+
+    return hashed.groupBy("content_md5").applyInPandasWithState(
+        dedup,
+        outputStructType="content_md5 string, doc_id long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """Watermarked 5-minute windows sliding by 1 minute over events(ts,
     event_type, value): late data beyond 10 minutes is dropped."""

@@ -77,6 +77,57 @@ def test_stream_triples_equals_batch(spark, sf_dir):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_dedup_exact_across_batches(spark, sf_dir):
+    """Duplicates arriving in LATER micro-batches are still suppressed —
+    state survives across batches (applyInPandasWithState)."""
+    import pyspark.sql.types as T
+
+    from deepkg_spark.streaming.pipeline import stream_dedup_exact
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    in_dir, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        # batch 1: originals; batch 2 (separate file, maxFilesPerTrigger=1):
+        # the same texts under new doc_ids
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/b1")
+        docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{in_dir}/b2")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/b*")
+        )
+        q = (
+            stream_dedup_exact(src)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sdedup")
+            .option("checkpointLocation", f"{ckpt}/c")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql("SELECT * FROM sdedup").collect()
+        # one row per distinct text; all emitted doc_ids are originals (<50)
+        n_distinct = docs.select("text").distinct().count()
+        assert len(out) == n_distinct
+        assert all(r["doc_id"] < 50 for r in out)
+    finally:
+        for d in (in_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_windowed_event_counts(spark, sf_dir):
     """Drive the watermarked streaming agg with the events table as a
     one-shot file stream; compare to the equivalent batch window agg."""
