@@ -77,11 +77,19 @@ def main() -> None:
         "text_quality": lambda: _force(quality_score(docs)),
     }
 
+    # best-of-N: the sandbox host is shared and its delivered CPU varies
+    # minute-to-minute (see BENCH.md); min over repeats reports the engine,
+    # not the neighbors
+    repeats = int(os.environ.get("DEEPKG_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -106,12 +106,46 @@ def main() -> None:
         minhash_signatures(docs),
         required=["HashAggregate", "Exchange"],
     )
-    # bm25: broadcast stat sides
+    # bm25: broadcast stat sides; the scored pairs cross exactly ONE
+    # hash-partitioning exchange (qid) that serves both the aggregation and
+    # the ranking window — the single-shuffle property the operator is
+    # built around
     q = docs.select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+    import re
+
+    bm25_plan = _via_capture(bm25_topn(q, part, topn=5), "formatted")
+    # single-column qid exchanges (the scored-pairs shuffle); the (qid, term)
+    # exchange earlier belongs to the tiny query-token tf aggregation
+    n_qid_exchanges = len(re.findall(r"hashpartitioning\(qid#\d+L?, \d+\)", bm25_plan))
+    probs = checks(bm25_plan, ["BroadcastHashJoin", "Window"])
+    if n_qid_exchanges != 1:
+        probs.append(f"EXPECTED 1 single-col qid exchange, saw {n_qid_exchanges}")
+    sections.append(
+        "## bm25_topn (broadcast stats, one qid shuffle, windowed top-N)\n\n"
+        f"Audit: {'OK' if not probs else '; '.join(probs)}\n\n```\n{bm25_plan}\n```\n"
+    )
+
+    # dedup fingerprints: window min runs on ONE exchange by doc_id
+    from deepkg_spark.operators.textstats import fingerprints
+
     audit(
-        "bm25_topn (broadcast stats, windowed top-N)",
-        bm25_topn(q, part, topn=5),
-        required=["BroadcastHashJoin", "Window"],
+        "fingerprints (winnowing window, single partitioning)",
+        fingerprints(docs),
+        required=["Window"],
+        forbidden=["SortMergeJoin"],
+    )
+
+    # dense top-K JVM path: candidate side broadcast, no sort-merge
+    from deepkg_spark.operators.linking import dense_topk_frame
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.limit(8).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    cv = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    audit(
+        "dense_topk_frame (broadcast NLJ, no sort-merge)",
+        dense_topk_frame(qv, cv, k=3),
+        required=["BroadcastNestedLoopJoin"],
+        forbidden=["SortMergeJoin"],
     )
 
     with open("PLANS.md", "w") as f:
