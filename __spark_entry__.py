@@ -31,6 +31,8 @@ from deepkg_spark.operators.linking import (
     dense_topk_duck_sql,
     dense_topk_frame,
     link_exact,
+    rescore_length_norm,
+    rescore_length_norm_duck_sql,
     training_pairs,
     training_pairs_duck_sql,
 )
@@ -364,6 +366,21 @@ def _q_link_pairs(spark, sf_dir):
     return training_pairs(_q_link_bm25(spark, sf_dir), neg_per_pos=2)
 
 
+def _q_link_rescored(spark, sf_dir):
+    """ES-style length-normalized re-ranking of BM25 candidates."""
+    q = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+        .filter(F.col("qid") < 100)
+    )
+    d = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
+    )
+    from deepkg_spark.operators.linking import bm25_topn
+
+    return rescore_length_norm(bm25_topn(q, d, topn=5), q, d, topn=5)
+
+
 def _q_ann_recall(spark, sf_dir):
     """recall@5 of LSH ANN vs exact ranking (candidate_query_analysis shape)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -524,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_tie_or_break": _q_tie_or_break,
         "kg_triples_offsets": _q_triples_offsets,
         "kg_link_pairs": _q_link_pairs,
+        "kg_link_rescored": _q_link_rescored,
         "ev_windowed_counts": _q_ev_windows,
         "ev_sessions": _q_ev_sessions,
         "ann_recall": _q_ann_recall,
@@ -584,6 +602,12 @@ def oracle_sql() -> dict[str, str]:
         "ev_sessions": sessionize_duck_sql(),
         "kg_link_pairs": training_pairs_duck_sql(
             bm25_duck_sql(f"({_BM25_Q})", f"({_BM25_D})", topn=5), neg_per_pos=2
+        ),
+        "kg_link_rescored": rescore_length_norm_duck_sql(
+            bm25_duck_sql(f"({_BM25_Q})", f"({_BM25_D})", topn=5),
+            f"({_BM25_Q})",
+            f"({_BM25_D})",
+            topn=5,
         ),
         "ann_recall": f"""
 WITH approx AS ({rp_lsh_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', dim=64, k=5)}),

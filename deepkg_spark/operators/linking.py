@@ -198,6 +198,57 @@ SELECT qid, term_id, score, rank FROM (
 """.strip()
 
 
+def rescore_length_norm(
+    ranked: DataFrame, queries: DataFrame, dictionary: DataFrame, topn: int = 5
+) -> DataFrame:
+    """Client-side re-score of ranked candidates by length normalization:
+    score / (len(candidate_tokens) + len(query_tokens)) — the reference's
+    Elasticsearch post-processing (Normalization/recall/model/
+    ES_Model.py:76-123, re-score at :94-99). Re-ranks within each query;
+    deterministic ties on term_id.
+    """
+    q_len = queries.select(
+        "qid", F.expr(f"size({spark_tokens('qtext')})").alias("q_len")
+    )
+    d_len = dictionary.select(
+        "term_id", F.expr(f"size({spark_tokens('name')})").alias("d_len")
+    )
+    rescored = (
+        ranked.join(F.broadcast(q_len), "qid")
+        .join(F.broadcast(d_len), "term_id")
+        .withColumn(
+            "norm_score",
+            F.round(F.col("score") / (F.col("d_len") + F.col("q_len")), ROUND),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("norm_score"), F.asc("term_id"))
+    return (
+        rescored.withColumn("new_rank", F.row_number().over(w))
+        .filter(F.col("new_rank") <= topn)
+        .select("qid", "term_id", "norm_score", F.col("new_rank").alias("rank"))
+    )
+
+
+def rescore_length_norm_duck_sql(
+    ranked_sql: str, queries_rel: str, dict_rel: str, topn: int = 5
+) -> str:
+    return f"""
+WITH ranked AS ({ranked_sql}),
+ql AS (SELECT qid, len({duck_tokens('qtext')}) AS q_len FROM {queries_rel}),
+dl AS (SELECT term_id, len({duck_tokens('name')}) AS d_len FROM {dict_rel}),
+r AS (
+  SELECT ranked.qid, ranked.term_id,
+         round(ranked.score / (dl.d_len + ql.q_len), {ROUND}) AS norm_score
+  FROM ranked JOIN ql USING (qid) JOIN dl USING (term_id)
+)
+SELECT qid, term_id, norm_score, rank FROM (
+  SELECT qid, term_id, norm_score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY norm_score DESC, term_id ASC) AS INT) AS rank
+  FROM r
+) WHERE rank <= {topn}
+""".strip()
+
+
 def training_pairs(ranked: DataFrame, neg_per_pos: int = 2) -> DataFrame:
     """(qid, term_id, label) training pairs from ranked candidates.
 

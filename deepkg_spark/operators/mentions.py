@@ -94,6 +94,71 @@ class PatternSpanScorer:
         return cube
 
 
+class _HashFeatures:
+    """Deterministic per-character feature vectors: md5-seeded pseudo-
+    embeddings per character code, shared by the neural-shaped heads below.
+    Plays the role of the BERT encoder output the reference heads consume;
+    the heads' TENSOR SHAPES and decode semantics are faithful, the weights
+    are pinned-seed random (no trained checkpoints ship with the engine —
+    SURVEY.md §7 model note: the scorer backend is pluggable)."""
+
+    def __init__(self, dim: int = 16, seed: int = 1234):
+        rng = np.random.RandomState(seed)
+        self.table = rng.standard_normal((256, dim))
+        self.dim = dim
+
+    def encode(self, text: str) -> np.ndarray:
+        idx = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+        return self.table[idx]
+
+
+class BiaffineSpanScorer:
+    """Biaffine head (reference: ExtractionEntities/model/model.py:89-147):
+    start/end projections + per-class bilinear form
+    score[c, i, j] = f(h_i W_s) @ U_c @ f(h_j W_e). Deterministic weights."""
+
+    def __init__(self, n_classes: int = 3, dim: int = 16, seed: int = 7):
+        self.feats = _HashFeatures(dim)
+        rng = np.random.RandomState(seed)
+        self.w_s = rng.standard_normal((dim, dim)) / np.sqrt(dim)
+        self.w_e = rng.standard_normal((dim, dim)) / np.sqrt(dim)
+        self.u = rng.standard_normal((n_classes, dim, dim)) / dim
+        self.n_classes = n_classes
+
+    def score_cube(self, text: str, pad: int = 1) -> np.ndarray:
+        h = self.feats.encode(text)
+        hs = np.tanh(h @ self.w_s)
+        he = np.tanh(h @ self.w_e)
+        cube = np.einsum("id,cde,je->cij", hs, self.u, he)
+        out = np.full(
+            (self.n_classes, len(text) + 2 * pad, len(text) + 2 * pad), -np.inf
+        )
+        out[:, pad : pad + len(text), pad : pad + len(text)] = cube
+        return out
+
+
+class UnlabeledEntityScorer:
+    """Pairwise-concat head (reference: model/model.py:193-235): features
+    [h_i; h_j; h_i - h_j; h_i * h_j] -> per-class linear scorer."""
+
+    def __init__(self, n_classes: int = 3, dim: int = 16, seed: int = 11):
+        self.feats = _HashFeatures(dim)
+        rng = np.random.RandomState(seed)
+        self.w = rng.standard_normal((n_classes, 4 * dim)) / np.sqrt(4 * dim)
+        self.n_classes = n_classes
+
+    def score_cube(self, text: str, pad: int = 1) -> np.ndarray:
+        h = self.feats.encode(text)
+        n = len(text)
+        hi = h[:, None, :].repeat(n, axis=1)
+        hj = h[None, :, :].repeat(n, axis=0)
+        pair = np.concatenate([hi, hj, hi - hj, hi * hj], axis=-1)
+        cube = np.einsum("ijf,cf->cij", pair, self.w)
+        out = np.full((self.n_classes, n + 2 * pad, n + 2 * pad), -np.inf)
+        out[:, pad : pad + n, pad : pad + n] = cube
+        return out
+
+
 def mentions_udf(corpus: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched mention extraction: mapInPandas, one narrow stage."""
     patterns = MENTION_PATTERNS
