@@ -78,6 +78,7 @@ from deepkg_spark.operators.events import (
     windowed_counts_duck_sql,
 )
 from deepkg_spark.operators.phrases import phrase_candidates as _phrase_cand_for_dict
+from deepkg_spark.operators.phrases import phrase_quality_scores
 from deepkg_spark.operators.sel import sel_roundtrip_triples
 from deepkg_spark.operators.similarity import (
     recall_frame,
@@ -416,6 +417,20 @@ def _q_triples_offsets(spark, sf_dir):
     return triples_udf(load_corpus(spark, sf_dir))
 
 
+def _q_phrase_quality(spark, sf_dir):
+    """AutoPhrase distant-supervision loop (driver-side numpy classifier over
+    distributed stats; training loop not SQL-expressible -> rows-only)."""
+    docs = _docs(spark, sf_dir)
+    quality = {
+        r["ngram"]
+        for r in _phrase_cand_for_dict(
+            docs, min_freq=5, min_len=2, max_n=2, topk=10
+        ).collect()
+    }
+    pdf = phrase_quality_scores(docs, quality)
+    return spark.createDataFrame(pdf.assign(round_promoted=pdf["round_promoted"].astype(int)))
+
+
 def _q_sel_roundtrip(spark, sf_dir):
     return sel_roundtrip_triples(load_corpus(spark, sf_dir))
 
@@ -536,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ph_idf": _q_idf,
         "ph_entropy": _q_entropy,
         "ph_candidates": _q_candidates,
+        "ph_quality_loop": _q_phrase_quality,
         "kg_sel_roundtrip": _q_sel_roundtrip,
         "ner_distant_dp": _q_distant,
         "ner_tie_or_break": _q_tie_or_break,
