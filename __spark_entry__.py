@@ -36,7 +36,13 @@ from deepkg_spark.operators.linking import (
     training_pairs,
     training_pairs_duck_sql,
 )
-from deepkg_spark.operators.multimodal import frame_sample, media_features, synth_media
+from deepkg_spark.operators.multimodal import (
+    frame_sample,
+    media_features,
+    media_features_duck_sql,
+    media_features_exploded,
+    synth_media,
+)
 from deepkg_spark.operators.dedup import (
     dedup_exact,
     dedup_exact_duck_sql,
@@ -393,9 +399,11 @@ def _q_ann_recall(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Binary media column -> deterministic feature vectors (rows-only check:
-    the fake decode tiles a sha256 digest, not SQL-expressible)."""
-    return media_features(synth_media(spark, _docs(spark, sf_dir)))
+    """Binary media column -> deterministic feature rows, exploded to
+    (media_id, kind, dim, value) so the driver canonicalizer (which cannot
+    sort array columns) gets scalars only. Exact DuckDB oracle: the fake
+    decode is pure arithmetic over the sha256 digest."""
+    return media_features_exploded(synth_media(spark, _docs(spark, sf_dir)))
 
 
 def _q_media_frames(spark, sf_dir):
@@ -637,6 +645,6 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
        round(avg(coalesce(h.r, 0)), 6) AS mean_recall
 FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
 """.strip(),
-        # mm_media_features / mm_frame_sample: sha256-digest fake decode not
-        # SQL-expressible -> rows-only checks
+        "mm_media_features": media_features_duck_sql("documents"),
+        # mm_frame_sample: emits raw sha256 frame bytes -> rows-only check
     }

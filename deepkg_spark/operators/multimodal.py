@@ -141,3 +141,52 @@ def frame_sample(media: DataFrame, every: int = 10, fake: bool = True) -> DataFr
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, schema="media_id long, frame_no int, frame binary"
     )
+
+
+def media_features_exploded(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_id, kind, dim int, value double): driver-canonicalizable shape
+    of media_features — one row per feature dimension (arrays are not
+    sortable/hashable by the driver's canonicalizer, scalars are)."""
+    return media_features(media, fake=fake).selectExpr(
+        "media_id", "kind", "posexplode(feature) AS (dim, value)"
+    )
+
+
+def media_features_duck_sql(docs_rel: str = "documents") -> str:
+    """Exact DuckDB oracle for media_features_exploded over synth_media(docs).
+
+    The fake decode is pure arithmetic over the sha256 digest: np.resize
+    tiles the 32 digest bytes cyclically to width*height elements, and
+    np.array_split(.., 16) puts the first (n % 16) chunks at size n//16 + 1
+    and the rest at n//16. All byte sums are exact in float64, so avg()
+    matches numpy's mean bit-for-bit.
+    """
+    return f"""
+WITH med AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         sha256(text) AS hex,
+         (32 + doc_id % 64) * (32 + doc_id % 48) AS n
+  FROM {docs_rel}
+),
+b AS (
+  SELECT media_id, kind, n, n // 16 AS q, n % 16 AS r,
+         list_transform(range(32),
+           i -> CAST(('0x' || substr(hex, CAST(i * 2 + 1 AS INT), 2))::INT AS DOUBLE)
+         ) AS bytes
+  FROM med
+),
+pos AS (
+  SELECT media_id, kind, q, r, bytes, unnest(range(n)) AS p FROM b
+),
+chunk AS (
+  SELECT media_id, kind,
+         CASE WHEN p < r * (q + 1) THEN p // (q + 1)
+              ELSE r + (p - r * (q + 1)) // q END AS dim,
+         bytes[CAST(p % 32 AS INT) + 1] AS v
+  FROM pos
+)
+SELECT media_id, kind, CAST(dim AS INT) AS dim, round(avg(v), 6) AS value
+FROM chunk
+GROUP BY media_id, kind, dim
+""".strip()

@@ -188,9 +188,12 @@ def neighbor_entropy(docs: DataFrame, n: int = 2) -> DataFrame:
             cnt.join(tot, "ngram")
             .groupBy("ngram")
             .agg(
-                F.round(
-                    -F.sum((F.col("c") / F.col("t")) * F.log2(F.col("c") / F.col("t"))),
-                    ROUND,
+                (
+                    F.round(
+                        -F.sum((F.col("c") / F.col("t")) * F.log2(F.col("c") / F.col("t"))),
+                        ROUND,
+                    )
+                    + F.lit(0.0)  # IEEE -0.0 + 0.0 = +0.0: canonicalize negative zero
                 ).alias(f"{side}_entropy")
             )
         )
@@ -222,14 +225,14 @@ z AS (
   FROM t
 ),
 le AS (
-  SELECT ngram, round(-sum((c / t) * log2(c / t)), {ROUND}) AS left_entropy
+  SELECT ngram, round(-sum((c / t) * log2(c / t)), {ROUND}) + 0.0 AS left_entropy
   FROM (SELECT ngram, lft, CAST(count(*) AS DOUBLE) AS c,
                CAST(sum(count(*)) OVER (PARTITION BY ngram) AS DOUBLE) AS t
         FROM z GROUP BY ngram, lft)
   GROUP BY ngram
 ),
 re AS (
-  SELECT ngram, round(-sum((c / t) * log2(c / t)), {ROUND}) AS right_entropy
+  SELECT ngram, round(-sum((c / t) * log2(c / t)), {ROUND}) + 0.0 AS right_entropy
   FROM (SELECT ngram, rgt, CAST(count(*) AS DOUBLE) AS c,
                CAST(sum(count(*)) OVER (PARTITION BY ngram) AS DOUBLE) AS t
         FROM z GROUP BY ngram, rgt)
