@@ -24,8 +24,6 @@ partitioned corpus. This module provides the cluster-scale version:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +31,10 @@ from deepkg_spark.functions.hashing import spark_h32
 
 SPLIT_COL = "split_id"
 _CHECK_MOD = (1 << 61) - 1
+MANIFEST_SCHEMA = (
+    "job_id string, split_id int, row_count long, checksum long, "
+    "status string, attempt int"
+)
 
 
 def split_expr(n_splits: int, key_expr: str = "concat_ws('/', repo, path)") -> str:
@@ -40,19 +42,33 @@ def split_expr(n_splits: int, key_expr: str = "concat_ws('/', repo, path)") -> s
 
 
 def _row_digest(cols: list[str]) -> str:
-    concat = "concat_ws(chr(31), " + ", ".join(f"CAST({c} AS STRING)" for c in cols) + ")"
-    return spark_h32(f"md5({concat})")
+    # NULL-safe: concat_ws silently drops NULL args, so (a, NULL, b) and
+    # (a, b, NULL) would otherwise collide. Tag every cell — NULL -> chr(0),
+    # value -> 'v' || value (a value can never equal the bare NULL sentinel).
+    parts = ", ".join(
+        f"IF({c} IS NULL, chr(0), concat('v', CAST({c} AS STRING)))" for c in cols
+    )
+    return spark_h32(f"md5(concat_ws(chr(31), {parts}))")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for `path`'s scheme — works on local/HDFS/S3A/ABFS,
+    unlike os.path which silently reports False for every remote URI."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
 
 
 def read_manifest(spark: SparkSession, manifest_path: str, job_id: str) -> DataFrame:
-    schema = (
-        "job_id string, split_id int, row_count long, checksum long, "
-        "status string, attempt int"
-    )
-    if os.path.exists(manifest_path):
-        df = spark.read.schema(schema).parquet(manifest_path)
+    if path_exists(spark, manifest_path):
+        df = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
         return df.filter((F.col("job_id") == job_id) & (F.col("status") == "ok"))
-    return spark.createDataFrame([], schema)
+    return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
 def run_incremental(
@@ -86,6 +102,18 @@ def run_incremental(
     if not pend_splits:
         return {"pending": 0, "processed": 0, "rows": 0}
 
+    # Pre-delete pending split directories: a pending split has no manifest
+    # row, so any data under it is an unproven remnant of a prior crash.
+    # Dynamic overwrite only replaces partitions PRESENT in this run's output
+    # — a split whose new output is empty would otherwise keep its stale
+    # half-written files and have them counted into the manifest stats.
+    fs, _ = _hadoop_fs(spark, data_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for s in pend_splits:
+        part = jpath(f"{data_path}/{SPLIT_COL}={s}")
+        if fs.exists(part):
+            fs.delete(part, True)
+
     result = pipeline_fn(pending_df.drop(SPLIT_COL)).withColumn(
         SPLIT_COL, F.expr(split_expr(n_splits)).cast("int")
     )
@@ -93,29 +121,26 @@ def run_incremental(
     result.write.mode("overwrite").partitionBy(SPLIT_COL).parquet(data_path)
 
     out_cols = [c for c in result.columns if c != SPLIT_COL]
-    stats = (
-        spark.read.parquet(data_path)
+    stats = {
+        r[SPLIT_COL]: (r["row_count"], r["checksum"])
+        for r in spark.read.parquet(data_path)
         .filter(F.col(SPLIT_COL).isin(pend_splits))
         .groupBy(SPLIT_COL)
         .agg(
             F.count(F.lit(1)).alias("row_count"),
             (F.sum(F.expr(_row_digest(out_cols))) % _CHECK_MOD).alias("checksum"),
         )
-        .select(
-            F.lit(job_id).alias("job_id"),
-            F.col(SPLIT_COL),
-            "row_count",
-            "checksum",
-            F.lit("ok").alias("status"),
-            F.lit(1).alias("attempt"),
-        )
-    )
-    stats.write.mode("append").parquet(manifest_path)
-    rows = sum(
-        r["row_count"]
-        for r in spark.read.parquet(manifest_path)
-        .filter((F.col("job_id") == job_id) & (F.col(SPLIT_COL).isin(pend_splits)))
-        .select("row_count")
         .collect()
-    )
+    }
+    # Commit EVERY pending split — a split whose pipeline output is empty
+    # writes no data partition, but it must still get a manifest row
+    # (row_count 0) or it would re-pend (and be re-processed) forever.
+    manifest_rows = []
+    for s in sorted(pend_splits):
+        row_count, checksum = stats.get(s, (0, 0))
+        manifest_rows.append((job_id, int(s), int(row_count), int(checksum), "ok", 1))
+    spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(manifest_path)
+    rows = sum(r[2] for r in manifest_rows)
     return {"pending": len(pend_splits), "processed": len(pend_splits), "rows": rows}

@@ -39,6 +39,10 @@ from deepkg_spark.functions.text import duck_tokens, spark_tokens
 K1 = 1.5
 B = 0.75
 EPSILON = 0.25  # rank_bm25 Okapi negative-idf correction factor
+# dictionaries up to this many entries get broadcast-joined (postings/idf/
+# doclen all derive from the dictionary); above it, fall back to shuffle
+# joins and let AQE handle hot-term skew
+BROADCAST_DICT_MAX = 1_000_000
 ROUND = 6
 
 
@@ -93,6 +97,12 @@ def bm25_topn(
     # query-side term multiplicity matters (rank_bm25 sums per query token)
     q_tok = q_tok.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("qtf"))
 
+    n_docs = dictionary.count()
+    # broadcast the dictionary-derived sides only while they plausibly fit an
+    # executor (docstring's scale design: a huge dictionary must fall back to
+    # a shuffle join, where AQE handles skew — an unconditional hint would OOM)
+    _bcast = (lambda df: F.broadcast(df)) if n_docs <= BROADCAST_DICT_MAX else (lambda df: df)
+
     d_tok = dictionary.select(
         "term_id", F.explode(F.expr(spark_tokens("name"))).alias("term")
     )
@@ -104,7 +114,6 @@ def bm25_topn(
     )
     doclen = postings.groupBy("term_id").agg(F.sum("tf").alias("dl")).persist()
 
-    n_docs = dictionary.count()
     avgdl_row = doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
     avgdl = float(avgdl_row["avgdl"])
 
@@ -122,9 +131,9 @@ def bm25_topn(
     ).select("term", "idf")
 
     scored = (
-        q_tok.join(F.broadcast(postings), "term")
-        .join(F.broadcast(idf), "term")
-        .join(F.broadcast(doclen), "term_id")
+        q_tok.join(_bcast(postings), "term")
+        .join(_bcast(idf), "term")
+        .join(_bcast(doclen), "term_id")
         .withColumn(
             "part_score",
             F.col("qtf")

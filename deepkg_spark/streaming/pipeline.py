@@ -92,8 +92,11 @@ def stream_dedup_exact(docs_stream: DataFrame):
         n = 0
         for pdf in pdfs:
             n += len(pdf)
-            if first is None and len(pdf):
-                first = int(pdf["doc_id"].min())
+            if len(pdf):
+                # min across ALL Arrow chunks of the group — a group can span
+                # chunks, and chunk order must not pick the representative
+                m = int(pdf["doc_id"].min())
+                first = m if first is None else min(first, m)
         if seen == 0 and n > 0:
             yield pd.DataFrame({"content_md5": [key[0]], "doc_id": [first]})
         state.update((seen + n,))

@@ -83,3 +83,56 @@ def test_sigkill_then_resume(spark, sf_dir):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ref_dir, ignore_errors=True)
+
+
+def test_empty_split_commits_and_stale_data_removed(spark, sf_dir):
+    """A pending split whose pipeline output is empty must still get a
+    manifest row (row_count 0) — otherwise it re-pends forever — and any
+    stale half-written data for it must be deleted, not silently kept."""
+    import pyspark.sql.functions as F
+
+    from deepkg_spark.checkpoint import run_incremental
+    from deepkg_spark.sources.corpus import load_corpus
+
+    out_dir = tempfile.mkdtemp()
+    try:
+        corpus = load_corpus(spark, sf_dir)
+
+        # plant stale half-written data for split 3 (simulated prior crash)
+        stale = corpus.limit(5).select("repo", "path", "content")
+        stale.write.parquet(f"{out_dir}/data/split_id=3")
+
+        def empties_split_3(df):
+            keep = df.withColumn(
+                "_s", F.expr("pmod(conv(substring(md5(concat_ws('/', repo, path)), 1, 8), 16, 10), 8)")
+            )
+            return keep.filter(F.col("_s") != 3).drop("_s").select("repo", "path", "content")
+
+        r1 = run_incremental(spark, corpus, empties_split_3, out_dir, "ej", n_splits=8)
+        assert r1["processed"] == 8
+
+        man = spark.read.parquet(f"{out_dir}/_manifest")
+        by_split = {x["split_id"]: x["row_count"] for x in man.collect()}
+        assert by_split.get(3) == 0, by_split
+        assert len(by_split) == 8
+
+        # stale data gone; split 3 contributes no rows
+        data = spark.read.parquet(f"{out_dir}/data")
+        assert data.filter(F.col("split_id") == 3).count() == 0
+
+        # second invocation: nothing pending (the empty split committed)
+        r2 = run_incremental(spark, corpus, empties_split_3, out_dir, "ej", n_splits=8)
+        assert r2 == {"pending": 0, "processed": 0, "rows": 0}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_row_digest_null_position_sensitivity(spark):
+    """(a, NULL, b) and (a, b, NULL) must produce different digests."""
+    from deepkg_spark.checkpoint import _row_digest
+
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None)], "c1 string, c2 string, c3 string"
+    )
+    digs = [r[0] for r in df.selectExpr(_row_digest(["c1", "c2", "c3"])).collect()]
+    assert digs[0] != digs[1]
