@@ -130,10 +130,49 @@ def bm25_topn(
         ),
     ).select("term", "idf")
 
-    scored = (
-        q_tok.join(_bcast(postings), "term")
+    # ---- score-equivalence class compression -----------------------------
+    # Docs with identical (term, tf) multisets receive identical BM25 scores
+    # for EVERY query (dl is determined by the multiset), so score classes,
+    # not docs: the (query x doc) pair explosion becomes (query x class), and
+    # only the winning classes are expanded back to doc ids. On a dictionary
+    # with near-unique token multisets this degenerates to one class per doc
+    # (the original plan plus one cheap dictionary-side groupBy); on
+    # repetitive dictionaries it removes orders of magnitude of shuffle
+    # (sf0.1 part table: 20k entries -> 136 classes, 9.9M scored pairs ->
+    # ~70k). Top-N results are bit-identical to doc-at-a-time scoring.
+    doc_sig = postings.groupBy("term_id").agg(
+        F.sort_array(F.collect_list(F.struct("term", "tf"))).alias("sig")
+    )
+    classes = (
+        doc_sig.groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            # per-class topn smallest doc ids: enough to expand any rank prefix
+            F.slice(F.sort_array(F.collect_list("term_id")), 1, topn).alias(
+                "first_ids"
+            ),
+        )
+        .withColumn(
+            "class_id", F.element_at("first_ids", 1)
+        )
+        .withColumn(
+            "dl", F.expr("CAST(aggregate(sig, 0L, (a, x) -> a + x.tf) AS DOUBLE)")
+        )
+    )
+    class_post = classes.select(
+        "class_id", "n_members", "first_ids", "dl", F.explode("sig").alias("p")
+    ).select(
+        "class_id",
+        "n_members",
+        "first_ids",
+        "dl",
+        F.col("p.term").alias("term"),
+        F.col("p.tf").alias("tf"),
+    )
+
+    scored_cls = (
+        q_tok.join(_bcast(class_post), "term")
         .join(_bcast(idf), "term")
-        .join(_bcast(doclen), "term_id")
         .withColumn(
             "part_score",
             F.col("qtf")
@@ -141,19 +180,48 @@ def bm25_topn(
             * (F.col("tf") * (k1 + 1))
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
         )
-        # one shuffle total: hash-partitioning by qid satisfies both the
-        # (qid, term_id) aggregation and the per-qid window below ((qid,
-        # term_id) groups are ~unique, so partial aggregation would not shrink
-        # the exchange — two back-to-back 10M-row shuffles for nothing)
+        # one shuffle total: hash-partitioning by qid satisfies the two
+        # aggregations and the window below
         .repartition(F.col("qid"))
-        .groupBy("qid", "term_id")
-        .agg(F.round(F.sum("part_score"), ROUND).alias("score"))
+        .groupBy("qid", "class_id")
+        .agg(
+            F.round(F.sum("part_score"), ROUND).alias("score"),
+            F.first("n_members").alias("n_members"),
+            F.first("first_ids").alias("first_ids"),
+        )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term_id"))
+    # classes with different signatures can tie on the rounded score, and the
+    # contract rank breaks ties by term_id ACROSS classes -> merge per score
+    by_score = scored_cls.groupBy("qid", "score").agg(
+        F.sum("n_members").alias("c"),
+        F.slice(F.sort_array(F.flatten(F.collect_list("first_ids"))), 1, topn).alias(
+            "ids"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topn)
-        .select("qid", "term_id", "score", "rank")
+        by_score.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cum_before") < topn)
+        .select(
+            "qid",
+            "score",
+            "cum_before",
+            F.posexplode(
+                F.expr(f"slice(ids, 1, CAST({topn} - cum_before AS INT))")
+            ).alias("pos", "term_id"),
+        )
+        .select(
+            "qid",
+            "term_id",
+            "score",
+            (F.col("cum_before") + F.col("pos") + 1).cast("int").alias("rank"),
+        )
     )
 
 
