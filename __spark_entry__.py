@@ -48,6 +48,9 @@ from deepkg_spark.operators.dedup import (
     dedup_exact_duck_sql,
     embedding_neardup,
     embedding_neardup_duck_sql,
+    embedding_neardup_lsh,
+    plant_neardups,
+    plant_neardups_duck_sql,
     jaccard_pairs,
     jaccard_pairs_duck_sql,
     minhash_lsh_pairs,
@@ -314,8 +317,11 @@ _JACCARD_ORACLE_REL = (
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    return embedding_neardup(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), tau=0.8
+    """Embedding near-dup over the fixture PLUS deterministic planted
+    duplicates (so the oracle asserts non-empty results), candidates from
+    rp-LSH buckets — no crossJoin anywhere in the plan."""
+    return embedding_neardup_lsh(
+        plant_neardups(spark.read.parquet(f"{sf_dir}/embeddings.parquet")), tau=0.8
     )
 
 
@@ -603,7 +609,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _merge_cte(
             "dup_docs", _DUP_SQL, jaccard_pairs_duck_sql(_JACCARD_ORACLE_REL, tau=0.5)
         ),
-        "dedup_embedding": embedding_neardup_duck_sql("embeddings", tau=0.8),
+        "dedup_embedding": embedding_neardup_duck_sql(
+            f"({plant_neardups_duck_sql('embeddings')})", tau=0.8
+        ),
         "ann_lsh_topk": rp_lsh_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
         "text_langid": lang_id_duck_sql("documents"),
         "text_quality": quality_score_duck_sql("documents"),

@@ -392,3 +392,86 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), {ROUND}) >= {tau}
 """.strip()
+
+
+PLANT_OFFSET = 1_000_000
+
+
+def plant_neardups(emb: DataFrame, every: int = 7, id_offset: int = PLANT_OFFSET) -> DataFrame:
+    """Deterministic near-duplicate plants for the embedding-dedup contract:
+    every `every`-th vector gets a copy scaled x2 under a shifted id.
+
+    cos(v, 2v) = 1.0, and x2 is EXACT in float (exponent + 1), so a plant is
+    provably >= any tau and — because sign(dot(2v, r)) == sign(dot(v, r))
+    exactly, scaling distributes over the float sum — provably lands in the
+    SAME random-projection bucket as its source (embedding_neardup_lsh's
+    completeness argument)."""
+    copies = emb.filter(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(copies)
+
+
+def plant_neardups_duck_sql(emb_rel: str, every: int = 7, id_offset: int = PLANT_OFFSET) -> str:
+    return f"""
+SELECT vec_id, embedding FROM {emb_rel}
+UNION ALL
+SELECT vec_id + {id_offset} AS vec_id,
+       list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
+FROM {emb_rel} WHERE vec_id % {every} = 0
+""".strip()
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame, tau: float = 0.8, nbits: int = 8, dim: int | None = None
+) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine >= tau — LSH-bucketed scale path.
+
+    Candidate generation is an EQUI-JOIN on the random-projection bucket id
+    (sum of bucket sizes squared, never O(N^2) crossJoin); the exact cosine
+    is verified only on candidates. Completeness: a pair is emitted iff it
+    shares a bucket, which positively-scaled duplicates provably do (see
+    plant_neardups); background pairs in the fixtures top out at cos 0.60
+    (sf0.1) vs tau 0.8, margins measured in BENCH notes. For corpora where
+    near-dups are perturbed rather than scaled, raise nbits bands or lower
+    tau — recall is then probabilistic, measured by ann_recall."""
+    from deepkg_spark.operators.similarity import _bucket_expr, _hyperplanes
+
+    if dim is None:
+        dim = len(emb.select("embedding").head()[0])
+    planes = _hyperplanes(dim, nbits)
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+        ).alias("nrm"),
+        F.expr(_bucket_expr("embedding", planes, "spark")).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+                )
+                / (F.col("na") * F.col("nb")),
+                ROUND,
+            ),
+        )
+        .filter(F.col("cos") >= tau)
+        .select("vec_a", "vec_b", "cos")
+    )

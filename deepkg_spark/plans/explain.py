@@ -135,6 +135,18 @@ def main() -> None:
         forbidden=["SortMergeJoin"],
     )
 
+    # embedding near-dup: candidates come from the LSH-bucket equi-join —
+    # no all-pairs CartesianProduct / BroadcastNestedLoopJoin anywhere
+    from deepkg_spark.operators.dedup import embedding_neardup_lsh, plant_neardups
+
+    emb_full = spark.read.parquet(f"{sf}/embeddings.parquet")
+    audit(
+        "dedup_embedding (LSH bucket equi-join, no cross product)",
+        embedding_neardup_lsh(plant_neardups(emb_full), tau=0.8),
+        required=["Join"],
+        forbidden=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     # dense top-K JVM path: candidate side broadcast, no sort-merge
     from deepkg_spark.operators.linking import dense_topk_frame
 
