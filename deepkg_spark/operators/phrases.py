@@ -271,6 +271,7 @@ def phrase_quality_scores(
     max_rounds: int = 5,
     epochs: int = 200,
     lr: float = 0.5,
+    topk: int = 10_000,
 ) -> pd.DataFrame:
     """AutoPhrase-style distant-supervision loop (autophrase.py:63-148,
     168-228 semantics, re-implemented):
@@ -290,7 +291,16 @@ def phrase_quality_scores(
     Returns a pandas DataFrame (ngram, prob, is_quality, round_promoted),
     sorted by (-prob, ngram) — prediction ranking (autophrase.py:143-144).
     """
-    feats = phrase_features(docs, max_n, min_freq).toPandas()
+    # cap candidates BEFORE collecting: the reference trains over the topk
+    # frequent candidates only (selector.py:125-135); "every n-gram with
+    # freq >= min_freq" over a 100 TB corpus is billions of rows and must
+    # never reach the driver. Deterministic order: (freq desc, ngram asc).
+    feats = (
+        phrase_features(docs, max_n, min_freq)
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(topk)
+        .toPandas()
+    )
     cols = ["freq", "doc_freq", "pmi", "idf", "left_entropy", "right_entropy"]
     X = feats[cols].to_numpy(dtype=np.float64)
     mu, sd = X.mean(axis=0), X.std(axis=0)
