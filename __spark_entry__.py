@@ -106,12 +106,15 @@ from deepkg_spark.operators.textstats import (
 )
 from deepkg_spark.operators.relations import (
     TRIPLE_COLS,
+    events_duck_sql,
+    gold_events_sql,
     gold_offsets_sql,
     gold_triples_sql,
     triples_duck_sql,
     triples_frame,
     triples_udf,
 )
+from deepkg_spark.operators.sel import sel_roundtrip_events
 from deepkg_spark.sources.corpus import corpus_sql, load_corpus
 
 
@@ -190,6 +193,94 @@ SELECT CAST(sum(least(gold_n, pred_n)) AS BIGINT) AS tp,
        round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / CAST(sum(pred_n) AS DOUBLE), 6) AS precision,
        round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / CAST(sum(gold_n) AS DOUBLE), 6) AS recall
 FROM j
+"""
+
+
+EVENT_COLS = [
+    "repo", "path", "event_type", "trigger_text", "trigger_start",
+    "role", "arg_text", "arg_start",
+]
+TRIGGER_COLS = ["repo", "path", "event_type", "trigger_text", "trigger_start"]
+
+
+def _q_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UIE event records (trigger + roles, first-match char offsets) via the
+    SEL roundtrip path; oracle = the arithmetic gold (independent path)."""
+    return sel_roundtrip_events(load_corpus(spark, sf_dir))
+
+
+def _prf_1row(gold: DataFrame, pred: DataFrame, keys: list[str], prefix: str) -> DataFrame:
+    g = gold.groupBy(*keys).agg(F.count(F.lit(1)).alias("gold_n"))
+    p = pred.groupBy(*keys).agg(F.count(F.lit(1)).alias("pred_n"))
+    j = g.join(p, on=keys, how="full_outer").select(
+        F.coalesce("gold_n", F.lit(0)).alias("gold_n"),
+        F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+    )
+    return j.agg(
+        F.sum(F.least("gold_n", "pred_n")).cast("bigint").alias(f"{prefix}_tp"),
+        F.sum("gold_n").cast("bigint").alias(f"{prefix}_gold"),
+        F.sum("pred_n").cast("bigint").alias(f"{prefix}_pred"),
+        F.round(F.sum(F.least("gold_n", "pred_n")) / F.sum("pred_n"), 6).alias(
+            f"{prefix}_precision"
+        ),
+        F.round(F.sum(F.least("gold_n", "pred_n")) / F.sum("gold_n"), 6).alias(
+            f"{prefix}_recall"
+        ),
+    )
+
+
+def _q_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventScorer parity (scorer.py:438-516): multiset P/R over trigger
+    tuples (one per event record) and role tuples, offsets inside the tuples
+    (string + offset level), as a 1-row DataFrame."""
+    corpus = load_corpus(spark, sf_dir)
+    pred = sel_roundtrip_events(corpus)
+    gold = spark.sql(gold_events_sql())
+    trig = _prf_1row(
+        gold.select(*TRIGGER_COLS).distinct(),
+        pred.select(*TRIGGER_COLS).distinct(),
+        TRIGGER_COLS,
+        "trig",
+    )
+    role = _prf_1row(gold, pred, EVENT_COLS, "role")
+    return trig.crossJoin(role)
+
+
+_SCORE_EVENTS_ORACLE_TMPL = """
+WITH corpus AS ({corpus}),
+pred AS ({pred}),
+gold AS ({gold}),
+gt AS (SELECT repo, path, event_type, trigger_text, trigger_start,
+              CAST(count(*) AS BIGINT) AS gold_n
+       FROM (SELECT DISTINCT repo, path, event_type, trigger_text, trigger_start FROM gold)
+       GROUP BY ALL),
+pt AS (SELECT repo, path, event_type, trigger_text, trigger_start,
+              CAST(count(*) AS BIGINT) AS pred_n
+       FROM (SELECT DISTINCT repo, path, event_type, trigger_text, trigger_start FROM pred)
+       GROUP BY ALL),
+tj AS (SELECT coalesce(gold_n, 0) AS gold_n, coalesce(pred_n, 0) AS pred_n
+       FROM gt FULL OUTER JOIN pt
+       USING (repo, path, event_type, trigger_text, trigger_start)),
+t1 AS (SELECT CAST(sum(least(gold_n, pred_n)) AS BIGINT) AS trig_tp,
+              CAST(sum(gold_n) AS BIGINT) AS trig_gold,
+              CAST(sum(pred_n) AS BIGINT) AS trig_pred,
+              round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / sum(pred_n), 6) AS trig_precision,
+              round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / sum(gold_n), 6) AS trig_recall
+       FROM tj),
+gr AS (SELECT repo, path, event_type, trigger_text, trigger_start, role, arg_text, arg_start,
+              CAST(count(*) AS BIGINT) AS gold_n FROM gold GROUP BY ALL),
+pr AS (SELECT repo, path, event_type, trigger_text, trigger_start, role, arg_text, arg_start,
+              CAST(count(*) AS BIGINT) AS pred_n FROM pred GROUP BY ALL),
+rj AS (SELECT coalesce(gold_n, 0) AS gold_n, coalesce(pred_n, 0) AS pred_n
+       FROM gr FULL OUTER JOIN pr
+       USING (repo, path, event_type, trigger_text, trigger_start, role, arg_text, arg_start)),
+r1 AS (SELECT CAST(sum(least(gold_n, pred_n)) AS BIGINT) AS role_tp,
+              CAST(sum(gold_n) AS BIGINT) AS role_gold,
+              CAST(sum(pred_n) AS BIGINT) AS role_pred,
+              round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / sum(pred_n), 6) AS role_precision,
+              round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / sum(gold_n), 6) AS role_recall
+       FROM rj)
+SELECT * FROM t1, r1
 """
 
 
@@ -542,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_udf": _q_triples_udf,
         "kg_gold_triples": _q_gold_triples,
         "kg_score_prf": _q_score_prf,
+        "kg_events": _q_events,
+        "kg_score_events": _q_score_events,
         "kg_canonical": _q_canonical,
         "kg_nodes": _q_nodes,
         "kg_edges": _q_edges,
@@ -590,6 +683,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_gold_triples": gold_triples_sql(),
         "kg_score_prf": _SCORE_PRF_ORACLE.format(
             corpus=corpus_sql(), pred=triples_duck_sql(), gold=gold_triples_sql()
+        ).strip(),
+        "kg_events": gold_events_sql(),
+        "kg_score_events": _SCORE_EVENTS_ORACLE_TMPL.format(
+            corpus=corpus_sql(), pred=events_duck_sql("corpus"), gold=gold_events_sql()
         ).strip(),
         "kg_canonical": _with_corpus(
             f"SELECT * FROM ({canonical_entities_duck_sql(f'({mentions_duck_sql()})')}) c"

@@ -257,3 +257,64 @@ SELECT DISTINCT * FROM (
          concat('Base', b), 'class' FROM {base}
 ) g
 """.strip()
+
+
+def gold_events_sql(documents_rel: str = "documents") -> str:
+    """Engine-portable SQL deriving event role records arithmetically from
+    the content grammar — the event gold fixture (the UIE third record type;
+    reference EventRecord: sel2record.py:522-612, EventScorer tuple shapes:
+    scorer.py:438-516). First-match char offsets, same conventions as
+    gold_offsets_sql: trigger 'mod<a>.call' first occurs in l4 at
+    44+la+lb+ld; callee 'mod<a>' first occurs in l1 at 7; caller 'fn<d>'
+    first occurs in l3 at 26+la+lb."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 AS STRING) AS a,
+         CAST((doc_id * 7 + 3) % 97 AS STRING) AS b,
+         CAST(doc_id AS STRING) AS d
+  FROM {documents_rel}
+), m AS (
+  SELECT concat('org/repo', CAST(doc_id % 20 AS STRING)) AS repo,
+         concat('src/file_', d, '.py') AS path,
+         a, d, length(a) AS la, length(b) AS lb, length(d) AS ld
+  FROM t
+)
+SELECT repo, path, 'invoke' AS event_type,
+       concat('mod', a, '.call') AS trigger_text,
+       CAST(44 + la + lb + ld AS INT) AS trigger_start,
+       'callee' AS role, concat('mod', a) AS arg_text, CAST(7 AS INT) AS arg_start
+FROM m
+UNION ALL
+SELECT repo, path, 'invoke', concat('mod', a, '.call'),
+       CAST(44 + la + lb + ld AS INT),
+       'caller', concat('fn', d), CAST(26 + la + lb AS INT)
+FROM m
+""".strip()
+
+
+def events_duck_sql(corpus_rel: str = "corpus") -> str:
+    """DuckDB twin of sel.sel_roundtrip_events: regexp extraction + instr
+    first-match offsets over the corpus content (the independent pred path
+    used by the kg_score_events oracle)."""
+    return f"""
+WITH e AS (
+  SELECT repo, path, content,
+         regexp_extract(content, 'return (mod[0-9]+)[.]call', 1) AS callee,
+         regexp_extract(content, 'def (fn[0-9]+)', 1) AS caller
+  FROM {corpus_rel}
+  WHERE regexp_matches(content, 'return mod[0-9]+[.]call')
+    AND regexp_matches(content, 'def fn[0-9]+')
+)
+SELECT repo, path, 'invoke' AS event_type,
+       concat(callee, '.call') AS trigger_text,
+       CAST(instr(content, concat(callee, '.call')) - 1 AS INT) AS trigger_start,
+       'callee' AS role, callee AS arg_text,
+       CAST(instr(content, callee) - 1 AS INT) AS arg_start
+FROM e
+UNION ALL
+SELECT repo, path, 'invoke', concat(callee, '.call'),
+       CAST(instr(content, concat(callee, '.call')) - 1 AS INT),
+       'caller', caller, CAST(instr(content, caller) - 1 AS INT)
+FROM e
+""".strip()

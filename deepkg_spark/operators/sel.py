@@ -47,6 +47,11 @@ class RecordSchema:
     type_role_dict: dict[str, list[str]]
     # role -> object entity type (engine addition: SEL carries no object type)
     role_object_type: dict[str, str] = field(default_factory=dict)
+    # event types ride the same SEL tree; the schema decides whether a spot
+    # maps to an entity or an event record (sel2record.py:41-96 dispatch on
+    # schema_dict['entity'] vs schema_dict['event'] type lists)
+    event_type_list: list[str] = field(default_factory=list)
+    event_role_dict: dict[str, list[str]] = field(default_factory=dict)
 
 
 CODE_SCHEMA = RecordSchema(
@@ -63,6 +68,8 @@ CODE_SCHEMA = RecordSchema(
         "calls": "callable",
         "extends": "class",
     },
+    event_type_list=["invoke"],
+    event_role_dict={"invoke": ["callee", "caller"]},
 )
 
 
@@ -208,6 +215,15 @@ def doc_to_spot_asoc(repo: str, path: str, content: str) -> list:
         rm = _RETURN_RE.search(content)
         if rm:
             spots.append(("function", dm.group(1), [("calls", rm.group(1) + ".call")]))
+            # event spot: the call site as a trigger+roles record (the UIE
+            # third record type; sel2record.py:62-67 event branch)
+            spots.append(
+                (
+                    "invoke",
+                    rm.group(1) + ".call",
+                    [("callee", rm.group(1)), ("caller", dm.group(1))],
+                )
+            )
     cm = _CLASS_RE.search(content)
     if cm:
         spots.append(("class", cm.group(1), [("extends", cm.group(2))]))
@@ -246,4 +262,82 @@ def sel_roundtrip_triples(corpus: DataFrame, schema: RecordSchema = CODE_SCHEMA)
         run,
         schema="repo string, path string, subj string, subj_type string, "
         "pred string, obj string, obj_type string",
+    )
+
+
+# ---------------------------------------------------------------- events
+
+def sel_to_events(
+    sel: str, text: str, schema: RecordSchema
+) -> list[tuple[str, str, int, str, str, int]]:
+    """Parse + validate + dedup -> event role records
+    (event_type, trigger_text, trigger_start, role, arg_text, arg_start).
+
+    Mirrors the reference's event mapping (sel2record.py:62-67: spots whose
+    type is in the EVENT schema become {trigger, type, roles}) and the
+    first-match offset strategy (record_to_offset_first_role,
+    sel2record.py:560-612): trigger and every role take the FIRST char
+    occurrence of their span in the source text; a trigger that does not
+    occur drops the whole record, a role that does not occur is dropped
+    alone. The reference's cross-record trigger_matched_set (successive
+    matches for repeated triggers) is not needed for <=1 event per doc and
+    is intentionally omitted."""
+    seen: set[tuple] = set()
+    out = []
+    for stype, stext, asocs in parse_sel(sel):
+        if stype not in schema.event_type_list:
+            continue
+        t_start = text.find(stext)
+        if t_start < 0:
+            continue
+        for role, rtext in asocs:
+            if role not in schema.event_role_dict.get(stype, []):
+                continue
+            a_start = text.find(rtext)
+            if a_start < 0:
+                continue
+            rec = (stype, stext, t_start, role, rtext, a_start)
+            if rec in seen:
+                continue
+            seen.add(rec)
+            out.append(rec)
+    return out
+
+
+def sel_roundtrip_events(
+    corpus: DataFrame, schema: RecordSchema = CODE_SCHEMA
+) -> DataFrame:
+    """corpus -> SEL serialize -> parse -> validated event role records with
+    first-match char offsets. One narrow Arrow stage (same shape as
+    sel_roundtrip_triples); oracle = the arithmetic event gold
+    (relations.gold_events_sql)."""
+
+    cols = (
+        "repo", "path", "event_type", "trigger_text", "trigger_start",
+        "role", "arg_text", "arg_start",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
+                sel = spot_asoc_to_sel(doc_to_spot_asoc(repo, path, content))
+                for etype, trig, ts, role, arg, as_ in sel_to_events(
+                    sel, content, schema
+                ):
+                    rows["repo"].append(repo)
+                    rows["path"].append(path)
+                    rows["event_type"].append(etype)
+                    rows["trigger_text"].append(trig)
+                    rows["trigger_start"].append(ts)
+                    rows["role"].append(role)
+                    rows["arg_text"].append(arg)
+                    rows["arg_start"].append(as_)
+            yield pd.DataFrame(rows)
+
+    return corpus.select("repo", "path", "content").mapInPandas(
+        run,
+        schema="repo string, path string, event_type string, "
+        "trigger_text string, trigger_start int, role string, "
+        "arg_text string, arg_start int",
     )

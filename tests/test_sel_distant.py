@@ -136,3 +136,35 @@ def test_tie_or_break(spark):
     df = spark.createDataFrame(rows, ["sent_id", "pos", "token", "tie", "type"])
     got = {tuple(r) for r in tie_or_break_spans(df).collect()}
     assert got == {(0, 0, 3, "disease"), (0, 4, 5, "symptom")}
+
+
+def test_sel_to_events_validation_and_dedup():
+    from deepkg_spark.operators.sel import (
+        CODE_SCHEMA,
+        sel_to_events,
+        spot_asoc_to_sel,
+    )
+
+    text = "import mod5\ndef fn1(x):\n    return mod5.call(x)\n"
+    # valid event + duplicate + bad role + span not in text + non-event spot
+    sel = spot_asoc_to_sel(
+        [
+            ("invoke", "mod5.call", [("callee", "mod5"), ("caller", "fn1")]),
+            ("invoke", "mod5.call", [("callee", "mod5")]),  # dup role record
+            ("invoke", "mod5.call", [("bogus_role", "mod5")]),
+            ("invoke", "mod5.call", [("callee", "mod99")]),  # span absent
+            ("file", "whatever", [("imports", "mod5")]),  # entity spot: skip
+        ]
+    )
+    recs = sel_to_events(sel, text, CODE_SCHEMA)
+    assert recs == [
+        ("invoke", "mod5.call", text.find("mod5.call"), "callee", "mod5", 7),
+        ("invoke", "mod5.call", text.find("mod5.call"), "caller", "fn1", text.find("fn1")),
+    ]
+
+
+def test_sel_to_events_trigger_absent_drops_record():
+    from deepkg_spark.operators.sel import CODE_SCHEMA, sel_to_events, spot_asoc_to_sel
+
+    sel = spot_asoc_to_sel([("invoke", "mod9.call", [("callee", "mod9")])])
+    assert sel_to_events(sel, "no trigger here", CODE_SCHEMA) == []
