@@ -31,10 +31,15 @@ from deepkg_spark.operators.linking import (
     dense_topk_duck_sql,
     dense_topk_frame,
     link_exact,
+    gold_queries_sql,
+    linking_recall,
+    linking_recall_duck_sql,
     rescore_length_norm,
     rescore_length_norm_duck_sql,
     training_pairs,
     training_pairs_duck_sql,
+    training_pairs_gold,
+    training_pairs_gold_duck_sql,
 )
 from deepkg_spark.operators.multimodal import (
     frame_sample,
@@ -321,6 +326,38 @@ def _q_link_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
     )
     return bm25_topn(q, d, topn=5)
+
+
+def _gold_linking_frames(spark: SparkSession, sf_dir: str):
+    """(queries, gold, dictionary) for the gold-based linking queries: the
+    portable fixture SQL runs in Spark here and verbatim in the DuckDB
+    oracle."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
+    gq = spark.sql(gold_queries_sql())
+    queries = gq.select("qid", "qtext").distinct()
+    gold = gq.select("qid", "gold_term_id")
+    d = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
+    )
+    return queries, gold, d
+
+
+def _q_link_gold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-based training pairs: positives = gold normalized terms,
+    negatives = ranked BM25 candidates walked in rank order, capped at
+    n_gold * false_num_rate (Bulid_Data_Model.py:111-143)."""
+    queries, gold, d = _gold_linking_frames(spark, sf_dir)
+    return training_pairs_gold(bm25_topn(queries, d, topn=20), gold, false_num_rate=1)
+
+
+def _q_link_gold_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linking recall-vs-gold @topN — the reference's headline recall table
+    (candidate_query_analysis, Bulid_Data_Model.py:71-89)."""
+    queries, gold, d = _gold_linking_frames(spark, sf_dir)
+    return linking_recall(bm25_topn(queries, d, topn=20), gold)
 
 
 def _q_link_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_tie_or_break": _q_tie_or_break,
         "kg_triples_offsets": _q_triples_offsets,
         "kg_link_pairs": _q_link_pairs,
+        "kg_link_gold_pairs": _q_link_gold_pairs,
+        "kg_link_gold_recall": _q_link_gold_recall,
         "kg_link_rescored": _q_link_rescored,
         "ev_windowed_counts": _q_ev_windows,
         "ev_sessions": _q_ev_sessions,
@@ -729,6 +768,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_offsets": gold_offsets_sql(),
         "ev_windowed_counts": windowed_counts_duck_sql(),
         "ev_sessions": sessionize_duck_sql(),
+        "kg_link_gold_pairs": training_pairs_gold_duck_sql(
+            bm25_duck_sql(
+                f"(SELECT DISTINCT qid, qtext FROM ({gold_queries_sql()}) gq)",
+                f"({_BM25_D})",
+                topn=20,
+            ),
+            gold_queries_sql(),
+            false_num_rate=1,
+        ),
+        "kg_link_gold_recall": linking_recall_duck_sql(
+            bm25_duck_sql(
+                f"(SELECT DISTINCT qid, qtext FROM ({gold_queries_sql()}) gq)",
+                f"({_BM25_D})",
+                topn=20,
+            ),
+            gold_queries_sql(),
+        ),
         "kg_link_pairs": training_pairs_duck_sql(
             bm25_duck_sql(f"({_BM25_Q})", f"({_BM25_D})", topn=5), neg_per_pos=2
         ),

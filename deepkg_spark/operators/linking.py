@@ -447,3 +447,120 @@ SELECT qid, cid, score, rank FROM (
   FROM {queries_rel} q, {cand_rel} c
 ) WHERE rank <= {k}
 """.strip()
+
+
+# ------------------------------------------------------- gold-based linking
+
+def gold_queries_sql(documents_rel: str = "documents", dict_rel: str = "part",
+                     max_qid: int = 100) -> str:
+    """Engine-portable gold-normalization fixture: each query doc gets 1-2
+    deterministic gold dictionary terms (term_id = 1 + (qid*13) % N, plus
+    1 + (qid*29) % N for qid % 3 == 0 — the reference's multi-gold
+    '##'-joined normalized_result, Bulid_Data_Model.py:103-133), and the
+    query TEXT mentions its gold names (queries cite their canonical term),
+    so BM25 recall over the fixture is meaningful. Emits
+    (qid, qtext, gold_term_id) — one row per gold."""
+    base = f"""
+(SELECT q.doc_id AS qid, q.text,
+        CAST(1 + (q.doc_id * 13) % (SELECT count(*) FROM {dict_rel}) AS BIGINT) AS g1,
+        CAST(1 + (q.doc_id * 29) % (SELECT count(*) FROM {dict_rel}) AS BIGINT) AS g2
+ FROM {documents_rel} q WHERE q.doc_id < {max_qid})
+""".strip()
+    return f"""
+WITH base AS {base},
+q AS (
+  SELECT b.qid,
+         concat(b.text, ' ', d1.p_name,
+                CASE WHEN b.qid % 3 = 0 THEN concat(' ', d2.p_name) ELSE '' END) AS qtext,
+         b.g1, b.g2
+  FROM base b
+  JOIN {dict_rel} d1 ON d1.p_partkey = b.g1
+  JOIN {dict_rel} d2 ON d2.p_partkey = b.g2
+)
+SELECT DISTINCT qid, qtext, gold_term_id FROM (
+  SELECT qid, qtext, g1 AS gold_term_id FROM q
+  UNION ALL
+  SELECT qid, qtext, g2 FROM q WHERE qid % 3 = 0
+) g
+""".strip()
+
+
+def training_pairs_gold(
+    ranked: DataFrame, gold: DataFrame, false_num_rate: int = 1
+) -> DataFrame:
+    """(qid, term_id, label) — the reference's gold-based sample builder
+    (Bulid_Data_Model.py:111-143): positives are the gold terms (label 1);
+    negatives walk the ranked candidates IN RANK ORDER, skip gold terms, and
+    stop after n_gold * false_num_rate per query (label 0).
+
+    gold: (qid, gold_term_id). Plan: one broadcast-able anti-join to drop
+    gold from candidates, a per-qid window for the rank-order walk, and a
+    per-qid gold count join — no driver loops."""
+    gold = gold.select("qid", F.col("gold_term_id").alias("term_id"))
+    n_gold = gold.groupBy("qid").agg(F.count(F.lit(1)).alias("n_gold"))
+    pos = gold.withColumn("label", F.lit(1))
+    cand = ranked.join(gold, ["qid", "term_id"], "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.asc("rank"), F.asc("term_id"))
+    neg = (
+        cand.withColumn("neg_seq", F.row_number().over(w))
+        .join(n_gold, "qid")
+        .filter(F.col("neg_seq") <= F.col("n_gold") * false_num_rate)
+        .select("qid", "term_id", F.lit(0).alias("label"))
+    )
+    return pos.select("qid", "term_id", "label").unionByName(neg)
+
+
+def training_pairs_gold_duck_sql(
+    ranked_sql: str, gold_sql: str, false_num_rate: int = 1
+) -> str:
+    return f"""
+WITH ranked AS ({ranked_sql}),
+gold AS (SELECT qid, gold_term_id AS term_id FROM ({gold_sql}) g),
+ng AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_gold FROM gold GROUP BY qid),
+neg AS (
+  SELECT qid, term_id, 0 AS label
+  FROM (
+    SELECT r.qid, r.term_id,
+           row_number() OVER (PARTITION BY r.qid ORDER BY r.rank ASC, r.term_id ASC) AS neg_seq
+    FROM ranked r ANTI JOIN gold g ON g.qid = r.qid AND g.term_id = r.term_id
+  ) c JOIN ng USING (qid)
+  WHERE neg_seq <= n_gold * {false_num_rate}
+)
+SELECT qid, term_id, CAST(1 AS INT) AS label FROM gold
+UNION ALL
+SELECT qid, term_id, CAST(label AS INT) FROM neg
+""".strip()
+
+
+def linking_recall(ranked: DataFrame, gold: DataFrame) -> DataFrame:
+    """1-row (n_queries, mean_recall): mean over queries of
+    |gold ∩ candidates| / |gold| — candidate_query_analysis
+    (Bulid_Data_Model.py:71-89), distributed."""
+    gold = gold.select("qid", F.col("gold_term_id").alias("term_id"))
+    n_gold = gold.groupBy("qid").agg(F.count(F.lit(1)).alias("n_gold"))
+    hits = gold.join(ranked.select("qid", "term_id"), ["qid", "term_id"]).groupBy(
+        "qid"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    per_q = n_gold.join(hits, "qid", "left").select(
+        (F.coalesce("n_hit", F.lit(0)) / F.col("n_gold")).alias("r")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.avg("r"), ROUND).alias("mean_recall"),
+    )
+
+
+def linking_recall_duck_sql(ranked_sql: str, gold_sql: str) -> str:
+    return f"""
+WITH ranked AS ({ranked_sql}),
+gold AS (SELECT qid, gold_term_id AS term_id FROM ({gold_sql}) g),
+ng AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_gold FROM gold GROUP BY qid),
+hits AS (
+  SELECT g.qid, CAST(count(*) AS BIGINT) AS n_hit
+  FROM gold g JOIN ranked r ON r.qid = g.qid AND r.term_id = g.term_id
+  GROUP BY g.qid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ng.n_gold), {ROUND}) AS mean_recall
+FROM ng LEFT JOIN hits h USING (qid)
+""".strip()
