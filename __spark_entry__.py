@@ -360,6 +360,24 @@ def _q_link_gold_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linking_recall(bm25_topn(queries, d, topn=20), gold)
 
 
+def _q_link_bm25_mode(mode: str):
+    """BM25 under the reference's alternative cut modes (char / mixed 2-gram;
+    text_preprocess.py:17-116 — its published recall table is per-mode)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        qdf = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+            .filter(F.col("qid") < 100)
+        )
+        d = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
+        )
+        return bm25_topn(qdf, d, topn=5, mode=mode)
+
+    return q
+
+
 def _q_link_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 20 == 0).select(
@@ -677,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_edges,
         "kg_link_exact": _q_link_exact,
         "kg_link_bm25": _q_link_bm25,
+        "kg_link_bm25_char": _q_link_bm25_mode("char"),
+        "kg_link_bm25_2gram": _q_link_bm25_mode("2gram"),
         "kg_link_dense": _q_link_dense,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_minhash_sig,
@@ -736,6 +756,12 @@ def oracle_sql() -> dict[str, str]:
             corpus=corpus_sql(), mentions=mentions_duck_sql()
         ).strip(),
         "kg_link_bm25": bm25_duck_sql(f"({_BM25_Q})", f"({_BM25_D})", topn=5),
+        "kg_link_bm25_char": bm25_duck_sql(
+            f"({_BM25_Q})", f"({_BM25_D})", topn=5, mode="char"
+        ),
+        "kg_link_bm25_2gram": bm25_duck_sql(
+            f"({_BM25_Q})", f"({_BM25_D})", topn=5, mode="2gram"
+        ),
         "kg_link_dense": dense_topk_duck_sql(f"({_DENSE_Q})", f"({_DENSE_C})", k=5),
         "dedup_exact": _with_dup(dedup_exact_duck_sql),
         "dedup_minhash_sig": _with_dup(minhash_signatures_duck_sql),

@@ -94,3 +94,43 @@ def nfd_strip_lower(s: str) -> str:
 def normalize_series(s: pd.Series) -> pd.Series:
     """Vectorized full normalization for use inside Arrow-batched UDFs."""
     return s.map(lambda x: nfd_strip_lower(q2b(x)) if x is not None else None)
+
+
+# ---------------- BM25 cut modes (text_preprocess.py:17-116) ----------------
+# 'word'  = whitespace cut (jieba replaced by the documented ident policy)
+# 'char'  = character cut (cutCharDataProcess, spaces are the stoplist)
+# '2gram' = the reference's mixed n-gram cut (ngramDataProcess): on the
+#           space-stripped string, char 2-grams starting at 0..len-3 PLUS
+#           every single char; empty when len <= 2 (reference boundary quirk
+#           preserved: the 2-gram ending at the last char is NOT emitted).
+
+def spark_mode_tokens(col: str, mode: str = "word") -> str:
+    if mode == "word":
+        return spark_tokens(col)
+    if mode == "char":
+        return f"regexp_extract_all({col}, '[^ ]', 0)"
+    if mode == "2gram":
+        s = f"replace({col}, ' ', '')"
+        return (
+            f"CASE WHEN length({s}) > 2 THEN concat("
+            f"transform(sequence(1, length({s}) - 2), i -> substring({s}, i, 2)), "
+            f"transform(sequence(1, length({s})), i -> substring({s}, i, 1))"
+            f") ELSE array() END"
+        )
+    raise ValueError(f"unknown cut mode {mode!r}")
+
+
+def duck_mode_tokens(col: str, mode: str = "word") -> str:
+    if mode == "word":
+        return duck_tokens(col)
+    if mode == "char":
+        return f"regexp_extract_all({col}, '[^ ]')"
+    if mode == "2gram":
+        s = f"replace({col}, ' ', '')"
+        return (
+            f"CASE WHEN length({s}) > 2 THEN list_concat("
+            f"list_transform(range(1, length({s}) - 1), i -> substr({s}, CAST(i AS INT), 2)), "
+            f"list_transform(range(1, length({s}) + 1), i -> substr({s}, CAST(i AS INT), 1))"
+            f") ELSE [] END"
+        )
+    raise ValueError(f"unknown cut mode {mode!r}")

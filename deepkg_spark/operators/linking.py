@@ -34,7 +34,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from deepkg_spark.functions.text import duck_tokens, spark_tokens
+from deepkg_spark.functions.text import (
+    duck_mode_tokens,
+    duck_tokens,
+    spark_mode_tokens,
+    spark_tokens,
+)
 
 K1 = 1.5
 B = 0.75
@@ -75,6 +80,7 @@ def bm25_topn(
     k1: float = K1,
     b: float = B,
     epsilon: float = EPSILON,
+    mode: str = "word",
 ) -> DataFrame:
     """Okapi BM25 top-N as a join+agg+window plan.
 
@@ -92,7 +98,7 @@ def bm25_topn(
       - groupBy(qid, term_id) partial+final sum, then per-qid window top-N.
     """
     q_tok = queries.select(
-        "qid", F.explode(F.expr(spark_tokens("qtext"))).alias("term")
+        "qid", F.explode(F.expr(spark_mode_tokens("qtext", mode))).alias("term")
     )
     # query-side term multiplicity matters (rank_bm25 sums per query token)
     q_tok = q_tok.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("qtf"))
@@ -104,7 +110,7 @@ def bm25_topn(
     _bcast = (lambda df: F.broadcast(df)) if n_docs <= BROADCAST_DICT_MAX else (lambda df: df)
 
     d_tok = dictionary.select(
-        "term_id", F.explode(F.expr(spark_tokens("name"))).alias("term")
+        "term_id", F.explode(F.expr(spark_mode_tokens("name", mode))).alias("term")
     )
     # postings feed doclen, df, and the scoring join, plus two scalar jobs
     # (avgdl, avg_idf): persist once instead of re-tokenizing the dictionary
@@ -232,15 +238,16 @@ def bm25_duck_sql(
     k1: float = K1,
     b: float = B,
     epsilon: float = EPSILON,
+    mode: str = "word",
 ) -> str:
     """DuckDB oracle mirroring bm25_topn exactly (same rounding + ties)."""
     return f"""
 WITH q_tok AS (
-  SELECT qid, unnest({duck_tokens('qtext')}) AS term FROM {queries_rel}
+  SELECT qid, unnest({duck_mode_tokens('qtext', mode)}) AS term FROM {queries_rel}
 ), q_tf AS (
   SELECT qid, term, CAST(count(*) AS BIGINT) AS qtf FROM q_tok GROUP BY 1, 2
 ), d_tok AS (
-  SELECT term_id, unnest({duck_tokens('name')}) AS term FROM {dict_rel}
+  SELECT term_id, unnest({duck_mode_tokens('name', mode)}) AS term FROM {dict_rel}
 ), postings AS (
   SELECT term_id, term, CAST(count(*) AS BIGINT) AS tf FROM d_tok GROUP BY 1, 2
 ), doclen AS (
