@@ -84,6 +84,28 @@ def q2b(s: str) -> str:
     return s.translate(_Q2B)
 
 
+# Traditional -> simplified Chinese (reference: autophrasex/tokenizer.py:29-31
+# uses opencc's t2s; opencc is not shipped in this image, so a table-driven
+# mapping of the high-frequency traditional forms covers the normalization
+# contract — extend the table, or swap in opencc via --py-files, for full
+# coverage on a real cluster).
+_T2S_PAIRS = (
+    "國国 學学 醫医 藥药 體体 臺台 灣湾 語语 說说 車车 馬马 魚鱼 鳥鸟 龍龙 "
+    "電电 腦脑 機机 關关 開开 門门 問问 間间 聞闻 書书 讀读 寫写 話话 請请 "
+    "謝谢 對对 愛爱 樂乐 買买 賣卖 錢钱 銀银 長长 風风 雲云 飛飞 廣广 東东 "
+    "華华 漢汉 憶忆 業业 處处 務务 經经 濟济 時时 會会 員员 點点 號号 兒儿 "
+    "幾几 麼么 這这 們们 來来 個个 為为 與与 萬万 數数 網网 頁页 類类 熱热 "
+    "線线 約约 級级 紅红 綠绿 藍蓝 雜杂 誌志 報报 紙纸 圖图 畫画 發发 現现 "
+    "實实 觀观 聽听 認认 識识 記记 錄录 統统 計计 標标 準准 確确 測测 試试"
+)
+_T2S = str.maketrans({p[0]: p[1] for p in _T2S_PAIRS.split()})
+
+
+def t2s(s: str) -> str:
+    """Traditional -> simplified Chinese, table-driven."""
+    return s.translate(_T2S)
+
+
 def nfd_strip_lower(s: str) -> str:
     """NFD + strip combining marks + lower (reference: utils/tools.py:47-75)."""
     return "".join(
@@ -92,8 +114,10 @@ def nfd_strip_lower(s: str) -> str:
 
 
 def normalize_series(s: pd.Series) -> pd.Series:
-    """Vectorized full normalization for use inside Arrow-batched UDFs."""
-    return s.map(lambda x: nfd_strip_lower(q2b(x)) if x is not None else None)
+    """Vectorized full normalization for use inside Arrow-batched UDFs:
+    t2s -> Q2B -> NFD + Mn-strip + lower (the reference tokenizer's chain,
+    autophrasex/tokenizer.py:26-35)."""
+    return s.map(lambda x: nfd_strip_lower(q2b(t2s(x))) if x is not None else None)
 
 
 # ---------------- BM25 cut modes (text_preprocess.py:17-116) ----------------

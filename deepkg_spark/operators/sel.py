@@ -174,11 +174,13 @@ def sel_to_relations(
     seen: set[tuple] = set()
     out = []
     for stype, stext, asocs in parse_sel(sel):
+        stext = fix_unk_from_text(stext, text)
         if stype not in schema.type_list or stext not in text:
             continue
         for role, rtext in asocs:
             if role not in schema.type_role_dict.get(stype, []):
                 continue
+            rtext = fix_unk_from_text(rtext, text)
             if rtext not in text:
                 continue
             rec = (stext, stype, role, rtext, schema.role_object_type.get(role, ""))
@@ -265,6 +267,43 @@ def sel_roundtrip_triples(corpus: DataFrame, schema: RecordSchema = CODE_SCHEMA)
     )
 
 
+# ---------------------------------------------------------------- unk repair
+
+UNK = "<unk>"
+
+
+def fix_unk_from_text(span: str, text: str, unk: str = UNK) -> str:
+    """Repair ``<unk>`` placeholders in a generated span by bridging them
+    back to the raw text — same semantics as the reference's tokenizer-free
+    path (sel2record.py:766-793, fix_unk_from_text_without_tokenizer):
+
+    - literal segments around each unk are regex-escaped,
+    - every unk gap matches ``\\s*[^，？。\\s]+\\s*`` (one non-space,
+      non-CJK-punctuation run, with surrounding whitespace),
+    - a pattern longer than 100 chars falls back to the original span,
+    - no match in the text falls back to the original span,
+    - a match returns the stripped matched text.
+
+    Example: span "<unk> colo e Bengo" over text ".. at Ícolo e Bengo"
+    -> "Ícolo e Bengo".
+    """
+    if unk not in span:
+        return span
+
+    def esc(x: str) -> str:
+        return _re.sub(r"([.*?()\[\]+])", r"\\\1", x)
+
+    pattern = r"\s*[^，？。\s]+\s*".join(
+        esc(part.strip()) for part in span.split(unk)
+    )
+    if len(pattern) > 100:
+        return span
+    m = _re.search(pattern, text)
+    if not m:
+        return span
+    return m.group().strip()
+
+
 # ---------------------------------------------------------------- events
 
 def sel_to_events(
@@ -287,12 +326,14 @@ def sel_to_events(
     for stype, stext, asocs in parse_sel(sel):
         if stype not in schema.event_type_list:
             continue
+        stext = fix_unk_from_text(stext, text)
         t_start = text.find(stext)
         if t_start < 0:
             continue
         for role, rtext in asocs:
             if role not in schema.event_role_dict.get(stype, []):
                 continue
+            rtext = fix_unk_from_text(rtext, text)
             a_start = text.find(rtext)
             if a_start < 0:
                 continue

@@ -168,3 +168,58 @@ def test_sel_to_events_trigger_absent_drops_record():
 
     sel = spot_asoc_to_sel([("invoke", "mod9.call", [("callee", "mod9")])])
     assert sel_to_events(sel, "no trigger here", CODE_SCHEMA) == []
+
+
+def test_fix_unk_from_text_properties():
+    """Property: repairing a span whose middle words were masked with <unk>
+    recovers the original span (hypothesis over word lists)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepkg_spark.operators.sel import fix_unk_from_text
+
+    word = st.text(alphabet="abcdefgXYZ0123", min_size=1, max_size=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(word, min_size=3, max_size=6), st.data())
+    def inner(words, data):
+        span = " ".join(words)
+        text = f"prefix {span} suffix"
+        i = data.draw(st.integers(1, len(words) - 2))
+        masked = " ".join(w if j != i else "<unk>" for j, w in enumerate(words))
+        fixed = fix_unk_from_text(masked, text)
+        # the regex bridges one non-space run: masking one word must recover
+        # a substring of the text that contains the surviving literals
+        assert fixed in text
+        assert fixed.startswith(words[0]) and fixed.endswith(words[-1])
+
+    inner()
+
+
+def test_fix_unk_fallbacks():
+    from deepkg_spark.operators.sel import fix_unk_from_text
+
+    assert fix_unk_from_text("plain", "plain text") == "plain"
+    assert fix_unk_from_text("<unk> gone", "no such thing??") == "<unk> gone"
+    long_span = "<unk> " + "z" * 200
+    assert fix_unk_from_text(long_span, "z" * 300) == long_span
+    # regex metacharacters in literals are escaped
+    assert fix_unk_from_text("fn(<unk>)", "use fn(arg) now") == "fn(arg)"
+
+
+def test_sel_relations_repair_unk_spans():
+    from deepkg_spark.operators.sel import CODE_SCHEMA, sel_to_relations, spot_asoc_to_sel
+
+    text = "org/r/p\nimport mod42\ndef fn7(x):\n    return mod42.call(x)\n"
+    sel = spot_asoc_to_sel([("file", "org/r/p", [("imports", "<unk>od42")])])
+    recs = sel_to_relations(sel, text, CODE_SCHEMA)
+    assert recs == [("org/r/p", "file", "imports", "mod42", "module")]
+
+
+def test_t2s_normalization():
+    from deepkg_spark.functions.text import normalize_series, t2s
+    import pandas as pd
+
+    assert t2s("中國學生") == "中国学生"
+    out = normalize_series(pd.Series(["Ábc 國", None]))
+    assert out[0] == "abc 国" and out[1] is None
