@@ -100,6 +100,8 @@ from deepkg_spark.operators.similarity import (
     rp_lsh_topk_duck_sql,
 )
 from deepkg_spark.operators.textstats import (
+    wordpieces,
+    wordpieces_duck_sql,
     fingerprints,
     fingerprints_duck_sql,
     lang_id,
@@ -496,6 +498,11 @@ def _q_tokcounts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
+def _q_wordpieces(spark, sf_dir):
+    """Wordpiece '##'-split + merge roundtrip (subword seam, SURVEY 2.8)."""
+    return wordpieces(_docs(spark, sf_dir))
+
+
 def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
@@ -710,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_token_counts": _q_tokcounts,
         "text_fingerprints": _q_fingerprints,
+        "text_wordpieces": _q_wordpieces,
         "ph_ngram_stats": _q_ngram_stats,
         "ph_pmi": _q_pmi,
         "ph_idf": _q_idf,
@@ -779,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality_score_duck_sql("documents"),
         "text_token_counts": token_counts_duck_sql("documents"),
         "text_fingerprints": fingerprints_duck_sql("documents"),
+        "text_wordpieces": wordpieces_duck_sql("documents"),
         "ph_ngram_stats": ngram_stats_duck_sql("documents", 3),
         "ph_pmi": pmi_duck_sql("documents", 3),
         "ph_idf": idf_duck_sql("documents", 2),

@@ -209,3 +209,47 @@ SELECT DISTINCT doc_id,
                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
 FROM h
 """.strip()
+
+
+def wordpieces(docs: DataFrame, head: int = 3) -> DataFrame:
+    """(doc_id, token, pieces array<string>, merged string): wordpiece-style
+    '##'-split and re-merge — the reference's subword handling seam
+    (BERT tokenizers split OOV tokens into head + '##'-prefixed
+    continuations; merging strips the '##' marker). Deterministic rule here:
+    tokens longer than `head` chars split into (head, '##' + rest); merging
+    concatenates pieces and drops '##'. merged == token is the roundtrip
+    invariant the oracle checks."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("token")
+    )
+    return toks.selectExpr(
+        "doc_id",
+        "token",
+        f"IF(length(token) > {head}, "
+        f"array(substring(token, 1, {head}), concat('##', substring(token, {head} + 1))), "
+        f"array(token)) AS pieces",
+    ).selectExpr(
+        "doc_id",
+        "token",
+        # array columns are not driver-canonicalizable; emit the joined form
+        "concat_ws(' ', pieces) AS pieces_joined",
+        "replace(concat_ws('', pieces), '##', '') AS merged",
+    )
+
+
+def wordpieces_duck_sql(docs_rel: str, head: int = 3) -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM {docs_rel}),
+p AS (
+  SELECT doc_id, token,
+         CASE WHEN length(token) > {head}
+              THEN [substr(token, 1, {head}), '##' || substr(token, {head} + 1)]
+              ELSE [token] END AS pieces
+  FROM t
+)
+SELECT doc_id, token,
+       array_to_string(pieces, ' ') AS pieces_joined,
+       replace(array_to_string(pieces, ''), '##', '') AS merged
+FROM p
+""".strip()
