@@ -135,6 +135,26 @@ def main() -> None:
         forbidden=["SortMergeJoin"],
     )
 
+    # event extraction: one narrow Arrow stage over the corpus, no shuffle
+    from deepkg_spark.operators.sel import sel_roundtrip_events
+
+    audit(
+        "sel_roundtrip_events (narrow Arrow stage, no shuffle)",
+        sel_roundtrip_events(corpus),
+        required=["MapInPandas"],
+        forbidden=["Exchange"],
+    )
+
+    # wordpiece roundtrip: explode + scalar exprs, zero exchanges, codegen
+    from deepkg_spark.operators.textstats import wordpieces
+
+    audit(
+        "wordpieces (narrow, codegen, no shuffle)",
+        wordpieces(docs),
+        required=["[codegen id"],
+        forbidden=["Exchange"],
+    )
+
     # embedding near-dup: candidates come from the LSH-bucket equi-join —
     # no all-pairs CartesianProduct / BroadcastNestedLoopJoin anywhere
     from deepkg_spark.operators.dedup import embedding_neardup_lsh, plant_neardups

@@ -79,3 +79,50 @@ def test_dense_udf_equals_frame(spark, sf_dir):
     a = {tuple(r) for r in dense_topk_frame(q, c, k=5).collect()}
     b = {tuple(r) for r in dense_topk_udf(q, c, k=5).collect()}
     assert a == b and len(a) > 0
+
+
+def test_bm25_class_compression_equals_naive_on_adversarial_inputs(spark):
+    """The score-equivalence class compression inside bm25_topn must be
+    bit-identical to naive doc-at-a-time scoring — including rank tie-breaks
+    by term_id ACROSS classes (equal rounded scores from different
+    signatures). Tiny vocab + duplicated names force heavy class collisions
+    and cross-class ties; the reference is the DuckDB oracle SQL evaluated
+    over the same rows."""
+    import duckdb
+
+    from deepkg_spark.operators.linking import bm25_duck_sql, bm25_topn
+    from tests.compare import canon_rows
+
+    # vocab of 3 symbols, many duplicate multisets, names of length 1-3
+    vocab = ["aa", "bb", "cc"]
+    names = []
+    k = 0
+    for x in vocab:
+        for y in vocab:
+            for z in vocab + [""]:
+                names.append((k, f"{x} {y} {z}".strip()))
+                k += 1
+    # duplicate every dictionary entry once more under new ids (pure ties)
+    names += [(k + i, n) for i, (_, n) in enumerate(names)]
+    queries = [
+        (0, "aa"), (1, "aa bb"), (2, "cc cc aa"), (3, "bb bb"),
+        (4, "aa bb cc"), (5, "zz"), (6, "cc"),
+    ]
+
+    qdf = spark.createDataFrame(queries, "qid long, qtext string")
+    ddf = spark.createDataFrame(names, "term_id long, name string")
+    got = bm25_topn(qdf, ddf, topn=4)
+    s = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE q(qid BIGINT, qtext VARCHAR)")
+    con.executemany("INSERT INTO q VALUES (?, ?)", queries)
+    con.execute("CREATE TABLE d(term_id BIGINT, name VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", names)
+    rel = con.sql(bm25_duck_sql("q", "d", topn=4))
+    dd = rel.fetchall()
+
+    assert len(s) == len(dd)
+    assert canon_rows([c.lower() for c in got.columns], s) == canon_rows(
+        [c.lower() for c in rel.columns], dd
+    )
