@@ -78,15 +78,17 @@ FROM occ GROUP BY n, ngram
 """.strip()
 
 
-def pmi(docs: DataFrame, max_n: int = 3) -> DataFrame:
+def pmi(docs: DataFrame, max_n: int = 3, stats: DataFrame | None = None) -> DataFrame:
     """(ngram, n, freq, pmi) for n in 2..max_n.
 
     p_ngram  = freq_n / total_count(n);  p_uni = freq_1 / total_count(1);
     pmi      = log2((p_ngram + EPS) / (prod of part p_uni + EPS)).
     Plan: unigram table broadcast-joined to exploded n-gram parts; the product
     over parts becomes sum(log2 p) -> exp2 — one agg, no per-row Python.
+    Pass a cached `stats` (ngram_stats output) to share the corpus scan with
+    idf/candidates (phrase_features does).
     """
-    stats = ngram_stats(docs, max_n).cache()
+    stats = stats if stats is not None else ngram_stats(docs, max_n).cache()
     totals = stats.groupBy("n").agg(F.sum("freq").alias("total"))
     uni = (
         stats.filter(F.col("n") == 1)
@@ -137,10 +139,11 @@ GROUP BY p.ngram, p.n, p.freq
 """.strip()
 
 
-def idf(docs: DataFrame, max_n: int = 2) -> DataFrame:
+def idf(docs: DataFrame, max_n: int = 2, stats: DataFrame | None = None) -> DataFrame:
     """(ngram, n, doc_freq, idf) — idf = ln((n_docs+EPS)/(doc_freq+EPS))."""
     n_docs = docs.count()
-    return ngram_stats(docs, max_n).select(
+    stats = stats if stats is not None else ngram_stats(docs, max_n)
+    return stats.select(
         "ngram",
         "n",
         "doc_freq",
@@ -205,6 +208,53 @@ def neighbor_entropy(docs: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
+def neighbor_entropy_multi(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """(ngram, left_entropy, right_entropy) for ALL n in `ns` in ONE corpus
+    scan: the per-n (ngram, lft, rgt) triples are flattened into a single
+    explode (same single-scan trick as ngram_stats), then aggregated exactly
+    like neighbor_entropy — per-(ngram) values are identical because n-grams
+    of different sizes are distinct strings. At 100 TB this replaces
+    len(ns) full corpus scans with one."""
+    toks = _tokens_df(docs)
+    per_n = ", ".join(
+        f"""CASE WHEN size(toks) >= {n} THEN
+            transform(sequence(1, size(toks) - {n} + 1), i -> struct(
+              concat_ws(' ', slice(toks, i, {n})) AS ngram,
+              IF(i = 1, '{BOS}', element_at(toks, i - 1)) AS lft,
+              IF(i + {n} > size(toks), '{EOS}', element_at(toks, i + {n})) AS rgt))
+            ELSE array() END"""
+        for n in ns
+    )
+    zipped = toks.select(
+        F.explode(F.expr(f"flatten(array({per_n}))")).alias("z")
+    ).select("z.ngram", "z.lft", "z.rgt")
+
+    def ent(side: str) -> DataFrame:
+        cnt = zipped.groupBy("ngram", side).agg(F.count(F.lit(1)).alias("c"))
+        tot = cnt.groupBy("ngram").agg(F.sum("c").alias("t"))
+        return (
+            cnt.join(tot, "ngram")
+            .groupBy("ngram")
+            .agg(
+                (
+                    F.round(
+                        -F.sum(
+                            (F.col("c") / F.col("t")) * F.log2(F.col("c") / F.col("t"))
+                        ),
+                        ROUND,
+                    )
+                    + F.lit(0.0)
+                ).alias(f"{side}_entropy")
+            )
+        )
+
+    return ent("lft").join(ent("rgt"), "ngram").select(
+        "ngram",
+        F.col("lft_entropy").alias("left_entropy"),
+        F.col("rgt_entropy").alias("right_entropy"),
+    )
+
+
 def neighbor_entropy_duck_sql(docs_rel: str, n: int = 2) -> str:
     toks = duck_tokens("text")
     return f"""
@@ -246,12 +296,10 @@ def phrase_features(docs: DataFrame, max_n: int = 3, min_freq: int = 3) -> DataF
     """(ngram, n, freq, doc_freq, pmi, idf, left_entropy, right_entropy) for
     multi-word candidates — the AutoPhrase feature table
     (extractors.py:101-290) assembled from the distributed aggs above."""
-    p = pmi(docs, max_n).filter(F.col("freq") >= min_freq)
-    i = idf(docs, max_n).select("ngram", "idf", "doc_freq")
-    ents = [neighbor_entropy(docs, n) for n in range(2, max_n + 1)]
-    e = ents[0]
-    for x in ents[1:]:
-        e = e.unionByName(x)
+    stats = ngram_stats(docs, max_n).cache()
+    p = pmi(docs, max_n, stats=stats).filter(F.col("freq") >= min_freq)
+    i = idf(docs, max_n, stats=stats).select("ngram", "idf", "doc_freq")
+    e = neighbor_entropy_multi(docs, tuple(range(2, max_n + 1)))
     return (
         p.join(i, "ngram")
         .join(e, "ngram")
