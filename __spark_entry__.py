@@ -20,6 +20,8 @@ from deepkg_spark.operators.canonicalize import (
     canonical_entities_duck_sql,
 )
 from deepkg_spark.operators.graph import (
+    connected_components,
+    connected_components_duck_sql,
     edge_table,
     edge_table_duck_sql,
     node_table,
@@ -95,6 +97,8 @@ from deepkg_spark.operators.phrases import phrase_candidates as _phrase_cand_for
 from deepkg_spark.operators.phrases import phrase_quality_scores
 from deepkg_spark.operators.sel import sel_roundtrip_triples
 from deepkg_spark.operators.similarity import (
+    ivf_topk,
+    ivf_topk_duck_sql,
     recall_frame,
     rp_lsh_topk,
     rp_lsh_topk_duck_sql,
@@ -444,6 +448,19 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_dup_docs(spark, sf_dir), tau=0.5)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS from LSH pairs: connected components (hash-min
+    iteration) over the minhash-LSH near-dup pair graph — the collapse step
+    a dedup pipeline needs after pair generation. Oracle = DuckDB recursive
+    CTE (min reachable id)."""
+    docs = _dup_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, tau=0.5).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    verts = docs.select(F.col("doc_id").alias("v"))
+    return connected_components(verts, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     return simhash(_dup_docs(spark, sf_dir))
 
@@ -480,6 +497,28 @@ def _q_ann_lsh(spark, sf_dir):
     )
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     return rp_lsh_topk(q, c, k=5, dim=64)
+
+
+def _ann_frames(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return q, c
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (faiss GpuIndexIVFFlat shape): pinned-centroid coarse
+    quantizer, nprobe cell search, window top-k."""
+    q, c = _ann_frames(spark, sf_dir)
+    return ivf_topk(q, c, k=5, dim=64)
+
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """recall@5 of the IVF search vs exact ranking."""
+    q, c = _ann_frames(spark, sf_dir)
+    return recall_frame(ivf_topk(q, c, k=5, dim=64), dense_topk_frame(q, c, k=5), 5)
 
 
 _ANN_Q = "SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 10 = 0"
@@ -708,11 +747,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_minhash_sig,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_jaccard": _q_jaccard,
         "dedup_embedding": _q_embedding_neardup,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "text_langid": _q_langid,
         "text_quality": _q_quality,
         "text_token_counts": _q_tokcounts,
@@ -774,6 +816,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _with_dup(dedup_exact_duck_sql),
         "dedup_minhash_sig": _with_dup(minhash_signatures_duck_sql),
         "dedup_minhash_lsh": _with_dup(minhash_lsh_pairs_duck_sql, tau=0.5),
+        "dedup_clusters": connected_components_duck_sql(
+            "SELECT doc_id AS v FROM dup_docs",
+            "SELECT doc_a AS a, doc_b AS b FROM ("
+            + minhash_lsh_pairs_duck_sql("dup_docs", tau=0.5)
+            + ") lp",
+            prelude_ctes=f"dup_docs AS ({_DUP_SQL})",
+        ),
         "dedup_simhash": _with_dup(simhash_duck_sql),
         "dedup_simhash_pairs": _with_dup(simhash_pairs_duck_sql, max_hamming=3),
         "dedup_jaccard": _merge_cte(
@@ -783,6 +832,19 @@ def oracle_sql() -> dict[str, str]:
             f"({plant_neardups_duck_sql('embeddings')})", tau=0.8
         ),
         "ann_lsh_topk": rp_lsh_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
+        "ann_ivf_topk": ivf_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
+        "ann_ivf_recall": f"""
+WITH approx AS ({ivf_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', dim=64, k=5)}),
+exact AS ({dense_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', k=5)}),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS DOUBLE) / 5 AS r
+  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+  GROUP BY a.qid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(coalesce(h.r, 0)), 6) AS mean_recall
+FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
+""".strip(),
         "text_langid": lang_id_duck_sql("documents"),
         "text_quality": quality_score_duck_sql("documents"),
         "text_token_counts": token_counts_duck_sql("documents"),

@@ -100,3 +100,77 @@ def write_graph(
     edges.write.mode("overwrite").format(fmt).partitionBy("pred").save(
         f"{out_dir}/edges"
     )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(v, component) — component = MIN vertex id reachable in the undirected
+    graph. The missing last step of every dedup pipeline: LSH emits duplicate
+    PAIRS; collapsing them into clusters is a connected-components problem.
+
+    Algorithm: iterative hash-min label propagation — each round every vertex
+    takes min(own label, neighbor labels); one equi-join + one groupBy(min)
+    per round, converging in <= graph-diameter rounds with an early-exit
+    convergence probe (count of lowered labels). Dedup-cluster graphs have
+    tiny diameters, so 2-4 rounds is typical; the per-round plan is all
+    partial-aggregable shuffles on vertex id (no collect of edges, no driver
+    graph). For adversarially long chains at 100 TB, swap in the
+    large-star/small-star contraction — same DataFrame-only shape.
+
+    vertices(v long), edges(a long, b long). Deterministic (min is
+    order-free).
+    """
+    sym = (
+        edges.selectExpr("a AS src", "b AS dst")
+        .unionByName(edges.selectExpr("b AS src", "a AS dst"))
+        .persist()
+    )
+    # localCheckpoint (not persist): iterative algorithms grow the logical
+    # plan every round — without truncating lineage, analysis/planning cost
+    # explodes exponentially with iteration count
+    labels = vertices.select("v", F.col("v").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["v"])
+            .select(F.col("src").alias("v"), "label")
+        )
+        new_labels = (
+            labels.select("v", "label")
+            .unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("v", F.col("label").alias("component"))
+
+
+def connected_components_duck_sql(
+    verts_sql: str, pairs_sql: str, prelude_ctes: str = ""
+) -> str:
+    """Recursive-CTE oracle: min reachable id per vertex. `pairs_sql` may
+    carry its own WITH clause (DuckDB allows nested WITH in a CTE body);
+    `prelude_ctes` injects fixture CTEs after the RECURSIVE keyword."""
+    pre = f"{prelude_ctes}," if prelude_ctes else ""
+    return f"""
+WITH RECURSIVE {pre}
+verts AS ({verts_sql}),
+pairs AS ({pairs_sql}),
+sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.v
+)
+SELECT v, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY v
+""".strip()

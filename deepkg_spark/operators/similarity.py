@@ -134,3 +134,135 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
         F.coalesce("r", F.lit(0.0)).alias("r")
     )
     return float(joined.agg(F.avg("r")).collect()[0][0])
+
+
+# ---------------------------------------------------------------- IVF-flat
+
+N_CELLS = 16
+NPROBE = 4
+
+
+def _centroids(dim: int, n_cells: int = N_CELLS, seed: int = SEED + 1) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_cells, dim)).round(6)
+
+
+def _cell_dots_expr(vec_col: str, cents: np.ndarray, engine: str) -> str:
+    """Array of (d = dot(vec, centroid_j), j) structs, centroids as plan
+    literals — engine-portable like the rp_lsh hyperplanes."""
+    items = []
+    for j, row in enumerate(cents):
+        arr = ", ".join(f"{x!r}" for x in row.tolist())
+        if engine == "spark":
+            dot = (
+                f"aggregate(zip_with({vec_col}, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            items.append(f"named_struct('d', {dot}, 'j', {j})")
+        else:
+            dot = f"list_dot_product({vec_col}::DOUBLE[], [{arr}])"
+            items.append(f"struct_pack(d := {dot}, j := {j})")
+    return ("array(" if engine == "spark" else "[") + ", ".join(items) + (
+        ")" if engine == "spark" else "]"
+    )
+
+
+def _argmax_cell_expr(dots_expr: str, engine: str) -> str:
+    """Index of the max-dot centroid; strict > keeps the SMALLEST j on ties
+    in both engines (fold keeps the earlier element)."""
+    if engine == "spark":
+        return (
+            f"aggregate({dots_expr}, named_struct('d', CAST(-1e308 AS DOUBLE), 'j', -1), "
+            f"(a, x) -> IF(x.d > a.d, x, a)).j"
+        )
+    return f"list_reduce({dots_expr}, (a, x) -> CASE WHEN x.d > a.d THEN x ELSE a END).j"
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+    dim: int | None = None,
+) -> DataFrame:
+    """(qid, cid, score, rank): IVF-flat ANN — the faiss GpuIndexIVFFlat
+    shape (SimCSE-Chinese-Pytorch/simcse_unsup.py:44-76) as a join plan.
+
+    Coarse quantizer = `n_cells` pinned-seed centroids (plan literals, so
+    results are identical across engines and cluster sizes). Candidates are
+    assigned to their nearest centroid (one narrow argmax expression — no
+    shuffle, no 16x explosion); queries probe their `nprobe` nearest cells;
+    scoring is an equi-join on cell id, i.e. ~nprobe/n_cells of the
+    brute-force pair work. Recall vs the exact ranking is measured the same
+    way as rp_lsh (ann_recall shape)."""
+    if dim is None:
+        dim = len(queries.select("qvec").head()[0])
+    cents = _centroids(dim, n_cells)
+    cand = candidates.withColumn(
+        "cell", F.expr(_argmax_cell_expr(_cell_dots_expr("cvec", cents, "spark"), "spark"))
+    )
+    qd = queries.withColumn(
+        "cd", F.explode(F.expr(_cell_dots_expr("qvec", cents, "spark")))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cd.d"), F.asc("cd.j"))
+    qprobe = (
+        qd.withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("qid", "qvec", F.col("cd.j").alias("cell"))
+    )
+    joined = qprobe.join(cand, "cell").withColumn(
+        "score",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qvec, cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ),
+            ROUND,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score", "rank")
+    )
+
+
+def ivf_topk_duck_sql(
+    queries_rel: str,
+    cand_rel: str,
+    dim: int,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+) -> str:
+    cents = _centroids(dim, n_cells)
+    return f"""
+WITH cand AS (
+  SELECT cid, cvec,
+         {_argmax_cell_expr(_cell_dots_expr('cvec', cents, 'duck'), 'duck')} AS cell
+  FROM {cand_rel}
+),
+qd AS (
+  SELECT qid, qvec, unnest({_cell_dots_expr('qvec', cents, 'duck')}) AS cd
+  FROM {queries_rel}
+),
+qprobe AS (
+  SELECT qid, qvec, cd.j AS cell FROM (
+    SELECT qid, qvec, cd,
+           row_number() OVER (PARTITION BY qid ORDER BY cd.d DESC, cd.j ASC) AS pr
+    FROM qd
+  ) WHERE pr <= {nprobe}
+),
+scored AS (
+  SELECT q.qid, c.cid,
+         round(list_dot_product(q.qvec::DOUBLE[], c.cvec::DOUBLE[]), {ROUND}) AS score
+  FROM qprobe q JOIN cand c USING (cell)
+)
+SELECT qid, cid, score, rank FROM (
+  SELECT qid, cid, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()

@@ -101,3 +101,21 @@ def test_checkpoint_resume_exact(spark, sf_dir):
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Long chain (needs several hash-min rounds), a triangle, and isolated
+    vertices; components = min reachable id."""
+    from deepkg_spark.operators.graph import connected_components
+
+    # chain 0-1-2-...-9, triangle 20-21-22, singletons 30, 31
+    chain = [(i, i + 1) for i in range(9)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    edges = spark.createDataFrame(chain + tri, "a long, b long")
+    verts = spark.createDataFrame(
+        [(v,) for v in list(range(10)) + [20, 21, 22, 30, 31]], "v long"
+    )
+    got = {r["v"]: r["component"] for r in connected_components(verts, edges).collect()}
+    assert all(got[v] == 0 for v in range(10))
+    assert all(got[v] == 20 for v in (20, 21, 22))
+    assert got[30] == 30 and got[31] == 31
