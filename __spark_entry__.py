@@ -48,6 +48,7 @@ from deepkg_spark.operators.multimodal import (
     media_features,
     media_features_duck_sql,
     media_features_exploded,
+    media_resize,
     synth_media,
 )
 from deepkg_spark.operators.dedup import (
@@ -604,6 +605,13 @@ def _q_media_features(spark, sf_dir):
     return media_features_exploded(synth_media(spark, _docs(spark, sf_dir)))
 
 
+def _q_media_resize(spark, sf_dir):
+    """Binary-out resize plumbing (payload re-encoded, meta updated) — the
+    decode step is the documented codec seam; deterministic fake raster, so
+    rows-only (binary payload output is not SQL-expressible)."""
+    return media_resize(synth_media(spark, _docs(spark, sf_dir)), w=16, h=16)
+
+
 def _q_media_frames(spark, sf_dir):
     """Video frame sampling (UDTF-shaped, rows-only check)."""
     return frame_sample(synth_media(spark, _docs(spark, sf_dir)), every=10)
@@ -779,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_media_frames,
+        "mm_resize": _q_media_resize,
     }
 
 

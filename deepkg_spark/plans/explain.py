@@ -167,6 +167,24 @@ def main() -> None:
         forbidden=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # IVF ANN: cell assignment is a narrow argmax expression, search is an
+    # equi-join on cell id — never an all-pairs product
+    from deepkg_spark.operators.similarity import ivf_topk
+
+    emb_ivf = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv_ivf = emb_ivf.limit(8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cv_ivf = emb_ivf.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    audit(
+        "ivf_topk (cell equi-join, no cross product)",
+        ivf_topk(qv_ivf, cv_ivf, k=3, dim=64),
+        required=["Join", "Window"],
+        forbidden=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     # dense top-K JVM path: candidate side broadcast, no sort-merge
     from deepkg_spark.operators.linking import dense_topk_frame
 
