@@ -126,3 +126,23 @@ def test_bm25_class_compression_equals_naive_on_adversarial_inputs(spark):
     assert canon_rows([c.lower() for c in got.columns], s) == canon_rows(
         [c.lower() for c in rel.columns], dd
     )
+
+
+def test_bm25_shuffle_fallback_matches_broadcast_path(spark, monkeypatch):
+    """With BROADCAST_DICT_MAX forced to 0 the dictionary-derived sides must
+    take the shuffle-join path (no broadcast hint) and produce identical
+    results — guards the large-dictionary fallback the docstring promises."""
+    import deepkg_spark.operators.linking as lk
+
+    qdf = spark.createDataFrame(
+        [(0, "aa bb"), (1, "bb cc"), (2, "aa")], "qid long, qtext string"
+    )
+    ddf = spark.createDataFrame(
+        [(1, "aa bb"), (2, "bb"), (3, "cc aa"), (4, "bb cc")],
+        "term_id long, name string",
+    )
+    expected = sorted(tuple(r) for r in lk.bm25_topn(qdf, ddf, topn=3).collect())
+    monkeypatch.setattr(lk, "BROADCAST_DICT_MAX", 0)
+    got_df = lk.bm25_topn(qdf, ddf, topn=3)
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == expected

@@ -223,3 +223,35 @@ def test_t2s_normalization():
     assert t2s("中國學生") == "中国学生"
     out = normalize_series(pd.Series(["Ábc 國", None]))
     assert out[0] == "abc 国" and out[1] is None
+
+
+def test_sel_parsers_never_raise_on_garbage():
+    """Fuzz: arbitrary text through the SEL parser, unk repair, relation and
+    event extraction must degrade to records-or-nothing, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepkg_spark.operators.sel import (
+        CODE_SCHEMA,
+        fix_unk_from_text,
+        parse_sel,
+        sel_to_events,
+        sel_to_relations,
+    )
+
+    tokens = st.sampled_from(
+        ["<extra_id_0>", "<extra_id_1>", "<extra_id_5>", "<extra_id_6>",
+         "<unk>", "file", "invoke", "imports", "callee", "mod5", "(", ")",
+         "[", "*", ".", "?", "+", "a b", ""]
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(tokens, max_size=24), st.text(max_size=40))
+    def inner(parts, text):
+        sel = " ".join(parts)
+        parse_sel(sel)
+        fix_unk_from_text(sel, text)
+        sel_to_relations(sel, text, CODE_SCHEMA)
+        sel_to_events(sel, text, CODE_SCHEMA)
+
+    inner()
