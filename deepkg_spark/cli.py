@@ -10,6 +10,10 @@ Jobs:
     graph       corpus -> triples -> node + edge tables (partitioned)
     incremental corpus -> triples with checkpoint manifest (resumable;
                 re-running after a kill completes only pending splits)
+    dedup       documents -> minhash-LSH near-dup pairs + duplicate clusters
+                (connected components) -> parquet
+    link        documents x dictionary parquet (term_id, name) -> BM25 top-N
+                candidates -> parquet
 """
 
 from __future__ import annotations
@@ -20,11 +24,19 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="deepkg_spark job runner")
-    ap.add_argument("--job", choices=["triples", "graph", "incremental"], required=True)
+    ap.add_argument(
+        "--job",
+        choices=["triples", "graph", "incremental", "dedup", "link"],
+        required=True,
+    )
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-splits", type=int, default=32)
     ap.add_argument("--job-id", default="kg")
+    ap.add_argument("--tau", type=float, default=0.5, help="dedup jaccard threshold")
+    ap.add_argument("--dict", dest="dict_path", default=None,
+                    help="link: parquet with (term_id, name); defaults to part table")
+    ap.add_argument("--topn", type=int, default=5)
     args = ap.parse_args()
 
     # imports resolve from --py-files on executors and driver alike
@@ -37,6 +49,54 @@ def main() -> None:
 
     spark = SparkSession.builder.appName(f"deepkg-{args.job}").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.job == "dedup":
+        from pyspark.sql import functions as F
+
+        from deepkg_spark.operators.dedup import minhash_lsh_pairs
+        from deepkg_spark.operators.graph import connected_components
+
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        pairs = minhash_lsh_pairs(docs, tau=args.tau)
+        pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
+        clusters = connected_components(
+            docs.select(F.col("doc_id").alias("v")),
+            spark.read.parquet(f"{args.out}/pairs").select(
+                F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+            ),
+        )
+        clusters.write.mode("overwrite").parquet(f"{args.out}/clusters")
+        n_pairs = spark.read.parquet(f"{args.out}/pairs").count()
+        n_clusters = (
+            spark.read.parquet(f"{args.out}/clusters").select("component").distinct().count()
+        )
+        print(json.dumps({"job": "dedup", "pairs": n_pairs, "clusters": n_clusters}))
+        spark.stop()
+        return
+
+    if args.job == "link":
+        from pyspark.sql import functions as F
+
+        from deepkg_spark.operators.linking import bm25_topn
+
+        q = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+        )
+        dict_path = args.dict_path or f"{args.sf_dir}/part.parquet"
+        d = spark.read.parquet(dict_path)
+        if "term_id" not in d.columns:
+            d = d.select(
+                F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
+            )
+        ranked = bm25_topn(q, d, topn=args.topn)
+        ranked.write.mode("overwrite").parquet(f"{args.out}/candidates")
+        n = spark.read.parquet(f"{args.out}/candidates").count()
+        print(json.dumps({"job": "link", "candidates": n}))
+        spark.stop()
+        return
+
     corpus = load_corpus(spark, args.sf_dir)
 
     if args.job == "triples":

@@ -33,3 +33,34 @@ def test_spark_submit_py_files(sf_dir):
         assert payload, out.stdout[-2000:]
         res = json.loads(payload[-1])
         assert res["edges"] > 0 and res["nodes"] > 0
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_dedup_and_link_jobs(sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", "/root/repo", "deepkg_spark")
+
+        def run(job, extra=()):
+            out = subprocess.run(
+                [
+                    SPARK_SUBMIT,
+                    "--master", "local[2]",
+                    "--py-files", zip_path,
+                    "--conf", "spark.ui.enabled=false",
+                    "--conf", "spark.sql.shuffle.partitions=2",
+                    "/root/repo/deepkg_spark/cli.py",
+                    "--job", job,
+                    "--sf-dir", sf_dir,
+                    "--out", f"{tmp}/{job}",
+                    *extra,
+                ],
+                capture_output=True, text=True, timeout=600,
+            )
+            assert out.returncode == 0, out.stderr[-3000:]
+            payload = [l for l in out.stdout.splitlines() if l.startswith('{"job"')]
+            return json.loads(payload[-1])
+
+        d = run("dedup", ("--tau", "0.5"))
+        assert d["clusters"] > 0
+        l = run("link", ("--topn", "3"))
+        assert l["candidates"] > 0
