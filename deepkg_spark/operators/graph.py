@@ -151,6 +151,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(last round lowered {changed} labels) — the graph has a longer "
+            "diameter than hash-min propagation affords; raise max_iter or "
+            "use a star-contraction variant"
+        )
     sym.unpersist()
     return labels.select("v", F.col("label").alias("component"))
 

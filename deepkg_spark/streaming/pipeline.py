@@ -121,3 +121,39 @@ def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes", "1 minute"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
     )
+
+
+def stream_interval_join(
+    clicks_stream: DataFrame,
+    views_stream: DataFrame,
+    max_lag: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream watermarked interval join: attribute each click event to
+    the view of the SAME event_type that happened at most `max_lag` before
+    it. Both sides carry watermarks so state for expired windows is dropped
+    (bounded state — required for an unbounded run).
+
+    clicks(ts, event_type, value) x views(ts, event_type, value)
+      -> (event_type, view_ts, click_ts, view_value, click_value)
+    """
+    c = (
+        clicks_stream.withColumn("click_ts", F.col("ts").cast("timestamp"))
+        .withColumnRenamed("value", "click_value")
+        .select("click_ts", "event_type", "click_value")
+        .withWatermark("click_ts", watermark)
+    )
+    v = (
+        views_stream.withColumn("view_ts", F.col("ts").cast("timestamp"))
+        .withColumnRenamed("value", "view_value")
+        .select("view_ts", F.col("event_type").alias("v_event_type"), "view_value")
+        .withWatermark("view_ts", watermark)
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"""event_type = v_event_type AND
+            view_ts <= click_ts AND
+            view_ts >= click_ts - INTERVAL {max_lag}"""
+        ),
+    ).select("event_type", "view_ts", "click_ts", "view_value", "click_value")

@@ -163,3 +163,50 @@ def test_windowed_event_counts(spark, sf_dir):
     finally:
         for d in (in_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join result == the equivalent batch join over
+    the same rows (event_type match, view within 10 minutes before click)."""
+    import tempfile
+
+    from deepkg_spark.streaming.pipeline import stream_interval_join
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("ts", "event_type", "value")
+        .limit(400)
+        .cache()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        events.write.parquet(f"{tmp}/clicks")
+        events.write.parquet(f"{tmp}/views")
+        cs = spark.readStream.schema(events.schema).parquet(f"{tmp}/clicks")
+        vs = spark.readStream.schema(events.schema).parquet(f"{tmp}/views")
+        q = (
+            stream_interval_join(cs, vs)
+            .writeStream.format("memory")
+            .queryName("ivj")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql("SELECT * FROM ivj").collect()}
+
+    batch = (
+        events.selectExpr("ts AS click_ts", "event_type", "value AS click_value")
+        .join(
+            events.selectExpr(
+                "ts AS view_ts", "event_type AS v_event_type", "value AS view_value"
+            ),
+            F.expr(
+                "event_type = v_event_type AND view_ts <= click_ts "
+                "AND view_ts >= click_ts - INTERVAL 10 minutes"
+            ),
+        )
+        .select("event_type", "view_ts", "click_ts", "view_value", "click_value")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
