@@ -87,6 +87,18 @@ from deepkg_spark.operators.phrases import (
     pmi,
     pmi_duck_sql,
 )
+from deepkg_spark.operators.curation import (
+    decontaminate,
+    decontaminate_duck_sql,
+    pack_sequences,
+    pack_sequences_duck_sql,
+    repetition_stats,
+    repetition_stats_duck_sql,
+    sample_stratified,
+    sample_stratified_duck_sql,
+    unigram_logprob,
+    unigram_logprob_duck_sql,
+)
 from deepkg_spark.operators.distant import distant_supervision, tie_or_break_spans
 from deepkg_spark.operators.events import (
     sessionize,
@@ -103,6 +115,8 @@ from deepkg_spark.operators.similarity import (
     recall_frame,
     rp_lsh_topk,
     rp_lsh_topk_duck_sql,
+    sts_spearman,
+    sts_spearman_duck_sql,
 )
 from deepkg_spark.operators.textstats import (
     wordpieces,
@@ -617,6 +631,117 @@ def _q_media_frames(spark, sf_dir):
     return frame_sample(synth_media(spark, _docs(spark, sf_dir)), every=10)
 
 
+# ------------------------------------------------- curation (LLM pipeline)
+
+# planted contamination: training set = non-eval docs PLUS verbatim copies of
+# the first eval docs (ids shifted by +500000), so the n-gram-collision check
+# provably fires (non-empty oracle — a 0-hit decontamination test asserts
+# nothing)
+_EVAL_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0"
+_TRAIN_SQL = """
+SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+UNION ALL
+SELECT doc_id + 500000 AS doc_id, text FROM documents
+WHERE doc_id % 20 = 0 AND doc_id < 100
+""".strip()
+
+_STRATA_RATES = {"en": 500, "de": 300}
+_STRATA_DEFAULT = 100
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 filters)."""
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Eval-set n-gram collision decontamination with planted contamination."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return decontaminate(spark.sql(_TRAIN_SQL), spark.sql(_EVAL_SQL), n=5)
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (stratum = predicted
+    language) — zero-shuffle, cluster-size-invariant replacement for
+    df.sample."""
+    return sample_stratified(
+        lang_id(_docs(spark, sf_dir)),
+        _STRATA_RATES,
+        default_permille=_STRATA_DEFAULT,
+        stratum_col="pred_lang",
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing into token-budget bins (grouped Arrow stage
+    per shard; oracle = DuckDB recursive CTE)."""
+    return pack_sequences(_docs(spark, sf_dir), budget=128, shard_size=50)
+
+
+def _q_unigram_lm(spark, sf_dir):
+    """Unigram-LM quality score (CCNet-shape LM filter, top-V vocab + OOV floor)."""
+    return unigram_logprob(_docs(spark, sf_dir), top_v=20)
+
+
+def _sts_pairs_sql(engine: str) -> str:
+    """Deterministic STS pair fixture over embeddings: (even id, id+1) pairs
+    with a hash-derived gold score in [0, 1)."""
+    from deepkg_spark.functions.hashing import duck_h31, spark_h31
+
+    if engine == "spark":
+        gold = f"round(pmod({spark_h31('CAST(a.vec_id AS STRING)')}, 1000) / 1000.0, 6)"
+    else:
+        gold = f"round((({duck_h31('CAST(a.vec_id AS VARCHAR)')}) % 1000) / 1000.0, 6)"
+    return f"""
+SELECT a.vec_id AS pair_id, a.embedding AS avec, b.embedding AS bvec,
+       {gold} AS gold
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 2 = 0
+""".strip()
+
+
+def _q_sts_spearman(spark, sf_dir):
+    """SimCSE STS eval parity: Spearman(cos_sim, gold) as 1-row DataFrame."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return sts_spearman(spark.sql(_sts_pairs_sql("spark")))
+
+
+BOUNDARY_COLS = ["repo", "path", "subj", "pred", "obj"]
+
+
+def _q_score_boundary(spark, sf_dir):
+    """Boundary-variant P/R (scorer.py:380-435): multiset match ignoring the
+    entity TYPE labels — the reference's 'boundary' metric next to 'strict'
+    (kg_score_prf)."""
+    corpus = load_corpus(spark, sf_dir)
+    pred = triples_frame(corpus).select(*BOUNDARY_COLS)
+    gold = spark.sql(gold_triples_sql()).select(*BOUNDARY_COLS)
+    return _prf_1row(gold, pred, BOUNDARY_COLS, "boundary")
+
+
+_SCORE_BOUNDARY_ORACLE = """
+WITH corpus AS ({corpus}),
+pred AS (SELECT repo, path, subj, pred, obj FROM ({pred}) pr),
+gold AS (SELECT repo, path, subj, pred, obj FROM ({gold}) gl),
+g AS (SELECT repo, path, subj, pred, obj,
+             CAST(count(*) AS BIGINT) AS gold_n FROM gold GROUP BY ALL),
+p AS (SELECT repo, path, subj, pred, obj,
+             CAST(count(*) AS BIGINT) AS pred_n FROM pred GROUP BY ALL),
+j AS (SELECT coalesce(gold_n, 0) AS gold_n, coalesce(pred_n, 0) AS pred_n
+      FROM g FULL OUTER JOIN p USING (repo, path, subj, pred, obj))
+SELECT CAST(sum(least(gold_n, pred_n)) AS BIGINT) AS boundary_tp,
+       CAST(sum(gold_n) AS BIGINT) AS boundary_gold,
+       CAST(sum(pred_n) AS BIGINT) AS boundary_pred,
+       round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / sum(pred_n), 6) AS boundary_precision,
+       round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / sum(gold_n), 6) AS boundary_recall
+FROM j
+"""
+
+
 def _q_ev_windows(spark, sf_dir):
     return windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
@@ -768,6 +893,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_tokcounts,
         "text_fingerprints": _q_fingerprints,
         "text_wordpieces": _q_wordpieces,
+        "text_repetition": _q_repetition,
+        "text_decontaminate": _q_decontaminate,
+        "text_sample_stratified": _q_sample_stratified,
+        "text_pack_sequences": _q_pack_sequences,
+        "text_unigram_lm": _q_unigram_lm,
+        "sts_spearman": _q_sts_spearman,
+        "kg_score_boundary": _q_score_boundary,
         "ph_ngram_stats": _q_ngram_stats,
         "ph_pmi": _q_pmi,
         "ph_idf": _q_idf,
@@ -859,6 +991,30 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
         "text_token_counts": token_counts_duck_sql("documents"),
         "text_fingerprints": fingerprints_duck_sql("documents"),
         "text_wordpieces": wordpieces_duck_sql("documents"),
+        "text_repetition": repetition_stats_duck_sql("documents"),
+        "text_decontaminate": _merge_cte(
+            "train_docs",
+            _TRAIN_SQL,
+            _merge_cte(
+                "eval_docs",
+                _EVAL_SQL,
+                decontaminate_duck_sql("train_docs", "eval_docs", n=5),
+            ),
+        ),
+        "text_sample_stratified": sample_stratified_duck_sql(
+            f"({lang_id_duck_sql('documents')})",
+            _STRATA_RATES,
+            default_permille=_STRATA_DEFAULT,
+            stratum_col="pred_lang",
+        ),
+        "text_pack_sequences": pack_sequences_duck_sql(
+            "documents", budget=128, shard_size=50
+        ),
+        "text_unigram_lm": unigram_logprob_duck_sql("documents", top_v=20),
+        "sts_spearman": sts_spearman_duck_sql(f"({_sts_pairs_sql('duck')})"),
+        "kg_score_boundary": _SCORE_BOUNDARY_ORACLE.format(
+            corpus=corpus_sql(), pred=triples_duck_sql(), gold=gold_triples_sql()
+        ).strip(),
         "ph_ngram_stats": ngram_stats_duck_sql("documents", 3),
         "ph_pmi": pmi_duck_sql("documents", 3),
         "ph_idf": idf_duck_sql("documents", 2),

@@ -1,0 +1,376 @@
+"""Training-data curation operators (LLM-pipeline additions).
+
+Five operators a 100 TB training-data pipeline needs beyond the reference's
+KG stages, each with a bit-identical DuckDB oracle twin:
+
+- ``repetition_stats``  — Gopher-style repetition quality signals per doc
+  (top-unigram fraction, top-2-gram fraction, duplicate-3-gram fraction);
+  the "Repetition removal" filters of Rae et al. 2021 (public paper), here
+  as one single-scan flattened explode + two hash aggregations whose keys
+  all include doc_id (no hot keys possible — a doc's grams land together).
+- ``decontaminate``     — eval-set n-gram collision flagging (the GPT-3 /
+  PaLM style 'remove training docs sharing an n-gram with the test set').
+  Eval-side distinct n-gram hashes are tiny relative to the corpus ->
+  broadcast semi-style join; train side stays embarrassingly parallel.
+- ``sample_stratified`` — deterministic per-stratum hash sampling
+  (keep iff md5-hash(stratum:doc_id) % 1000 < rate_permille[stratum]).
+  A pure narrow filter: NO shuffle, NO rand() — reproducible across
+  cluster sizes and re-runs, unlike df.sample.
+- ``pack_sequences``    — next-fit sequence packing into token-budget bins
+  (training-batch construction). Inherently sequential per shard, so the
+  corpus is sharded (shard = doc_id // shard_size) and a grouped Arrow
+  stage packs each shard independently; oracle = DuckDB recursive CTE.
+- ``unigram_logprob``   — unigram-LM quality score per doc (the CCNet-style
+  'LM perplexity' corpus filter with a corpus-trained unigram model):
+  top-V vocabulary broadcast-joined to exploded tokens, OOV floored at
+  1/total. Two aggs + one broadcast join; the vocab cap bounds driver and
+  executor memory at any corpus size.
+
+Reference analogues: stopword/low-frequency filtering and corpus statistics
+(Normalization/recall/tools/text_preprocess.py:17-116,
+AutoPhraseX-main/autophrasex/extractors.py:101-213); sampling discipline
+mirrors the engine-wide seeded-hash rule (no rand, ExtractionEntities/
+utils/tools.py:17-22 pins seeds).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepkg_spark.functions.hashing import duck_h31, duck_h32, spark_h31, spark_h32
+from deepkg_spark.functions.text import duck_ngrams, duck_tokens, spark_ngrams, spark_tokens
+
+ROUND = 6
+
+
+# ------------------------------------------------------------- repetition
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top_tok_frac, top_2gram_frac, dup_3gram_frac).
+
+    top_tok_frac    = count of the most frequent token / token count
+    top_2gram_frac  = count of the most frequent 2-gram / 2-gram count
+    dup_3gram_frac  = 1 - distinct 3-grams / total 3-grams
+    Missing gram sizes (short docs) report 0.0. One corpus scan: all three
+    gram sizes are flattened into a single tagged explode (the ngram_stats
+    trick), then two aggs keyed on (doc_id, ...) — skew-free by key design.
+    """
+    toks = docs.select("doc_id", F.expr(spark_tokens("text")).alias("toks"))
+    tagged = ", ".join(
+        f"transform({spark_ngrams('toks', n)}, g -> struct({n} AS n, g AS gram))"
+        for n in (1, 2, 3)
+    )
+    occ = toks.select(
+        "doc_id", F.explode(F.expr(f"flatten(array({tagged}))")).alias("o")
+    ).select("doc_id", "o.n", "o.gram")
+    cnt = occ.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id", "n").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("dist"),
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == 1, F.col("max_c") / F.col("tot"))), F.lit(0.0)
+            ),
+            ROUND,
+        ).alias("top_tok_frac"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == 2, F.col("max_c") / F.col("tot"))), F.lit(0.0)
+            ),
+            ROUND,
+        ).alias("top_2gram_frac"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == 3, 1.0 - F.col("dist") / F.col("tot"))),
+                F.lit(0.0),
+            ),
+            ROUND,
+        ).alias("dup_3gram_frac"),
+    )
+    # docs with zero tokens never reach the explode; re-attach them with zeros
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("top_tok_frac", F.lit(0.0)).alias("top_tok_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce("dup_3gram_frac", F.lit(0.0)).alias("dup_3gram_frac"),
+        )
+    )
+
+
+def repetition_stats_duck_sql(docs_rel: str) -> str:
+    toks = duck_tokens("text")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({duck_ngrams('toks', n)}) AS gram "
+        f"FROM (SELECT doc_id, {toks} AS toks FROM {docs_rel})"
+        for n in (1, 2, 3)
+    )
+    return f"""
+WITH occ AS ({unions}),
+cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM occ GROUP BY ALL),
+per AS (SELECT doc_id, n, max(c) AS max_c, sum(c) AS tot, count(*) AS dist
+        FROM cnt GROUP BY doc_id, n),
+agg AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_tokens,
+         round(coalesce(max(CASE WHEN n = 1 THEN CAST(max_c AS DOUBLE) / tot END), 0.0), {ROUND}) AS top_tok_frac,
+         round(coalesce(max(CASE WHEN n = 2 THEN CAST(max_c AS DOUBLE) / tot END), 0.0), {ROUND}) AS top_2gram_frac,
+         round(coalesce(max(CASE WHEN n = 3 THEN 1.0 - CAST(dist AS DOUBLE) / tot END), 0.0), {ROUND}) AS dup_3gram_frac
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.top_tok_frac, 0.0) AS top_tok_frac,
+       coalesce(a.top_2gram_frac, 0.0) AS top_2gram_frac,
+       coalesce(a.dup_3gram_frac, 0.0) AS dup_3gram_frac
+FROM (SELECT doc_id FROM {docs_rel}) d LEFT JOIN agg a USING (doc_id)
+""".strip()
+
+
+# --------------------------------------------------------- decontamination
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, n_grams, n_hits, contaminated): per training doc, how many of
+    its distinct n-grams collide with ANY eval-set n-gram; contaminated =
+    n_hits > 0 (the strict n-gram-collision decontamination rule).
+
+    Scale: the eval side is distinct n-gram HASHES only (bytes-bounded:
+    |eval docs| x tokens, 8 bytes each) and is explicitly broadcast — the
+    train side never shuffles; per-doc distinct + the hit count are one
+    partial-aggregable groupBy keyed by doc_id.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id",
+                F.explode(F.expr(spark_ngrams(spark_tokens("text"), n))).alias("g"),
+            )
+            .select("doc_id", F.expr(spark_h32("g")).alias("h"))
+            .distinct()
+        )
+
+    ev = grams(eval_docs).select("h").distinct()
+    tg = grams(train)
+    hits = (
+        tg.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    per_doc = tg.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    return (
+        train.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_duck_sql(train_rel: str, eval_rel: str, n: int = 5) -> str:
+    toks = duck_tokens("text")
+
+    def grams(rel: str) -> str:
+        return (
+            f"SELECT DISTINCT doc_id, {duck_h32('g')} AS h FROM ("
+            f"SELECT doc_id, unnest({duck_ngrams(toks, n)}) AS g FROM {rel})"
+        )
+
+    return f"""
+WITH tg AS ({grams(train_rel)}),
+ev AS (SELECT DISTINCT h FROM ({grams(eval_rel)})),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM tg JOIN ev USING (h) GROUP BY doc_id),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tg GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM {train_rel}) t
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+""".strip()
+
+
+# --------------------------------------------------- stratified sampling
+
+def sample_stratified(
+    docs_with_stratum: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    stratum_col: str = "stratum",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a row iff md5-hash(stratum || ':' || key) % 1000 < the stratum's
+    per-mille rate. Deterministic, cluster-size-invariant, zero-shuffle — the
+    replacement for df.sample(fraction) in any pipeline that must reproduce
+    its corpus exactly (df.sample is partitioning-dependent).
+    """
+    key = f"concat({stratum_col}, ':', CAST({key_col} AS STRING))"
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(rates_permille.items())
+    )
+    rate = f"CASE {stratum_col} {cases} ELSE {default_permille} END"
+    return docs_with_stratum.filter(
+        F.expr(f"pmod({spark_h31(key)}, 1000) < {rate}")
+    )
+
+
+def sample_stratified_duck_sql(
+    rel: str,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    stratum_col: str = "stratum",
+    key_col: str = "doc_id",
+) -> str:
+    key = f"({stratum_col} || ':' || CAST({key_col} AS VARCHAR))"
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(rates_permille.items())
+    )
+    rate = f"CASE {stratum_col} {cases} ELSE {default_permille} END"
+    return f"""
+SELECT * FROM {rel}
+WHERE ({duck_h31(key)}) % 1000 < ({rate})
+""".strip()
+
+
+# ----------------------------------------------------- sequence packing
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 128, shard_size: int = 50
+) -> DataFrame:
+    """(shard, doc_id, n_tokens, bin): next-fit packing of documents into
+    token-budget bins, in doc_id order within each shard.
+
+    Packing is inherently sequential, so parallelism comes from sharding:
+    shard = doc_id // shard_size, each shard packed independently inside a
+    grouped Arrow stage (one shuffle on shard, groups bounded by shard_size
+    — no skew, no driver collect). Bins never span shards by design; the
+    cross-shard waste is at most one underfull bin per shard, which at
+    100 TB (millions of shards) is noise while keeping the job
+    embarrassingly parallel. First doc of a shard opens bin 0 even when it
+    alone exceeds the budget (oversized docs get a bin of their own).
+    """
+    base = docs.select(
+        (F.col("doc_id") / shard_size).cast("bigint").alias("shard"),
+        "doc_id",
+        F.expr(f"size({spark_tokens('text')})").cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, running, b = [], 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                running = int(t)
+            elif running + int(t) > budget:
+                b += 1
+                running = int(t)
+            else:
+                running += int(t)
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int32")
+        return pdf[["shard", "doc_id", "n_tokens", "bin"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "shard bigint, doc_id bigint, n_tokens bigint, bin int"
+    )
+
+
+def pack_sequences_duck_sql(
+    docs_rel: str, budget: int = 128, shard_size: int = 50
+) -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(floor(doc_id / {shard_size}) AS BIGINT) AS shard, doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY CAST(floor(doc_id / {shard_size}) AS BIGINT)
+                            ORDER BY doc_id) AS rn
+  FROM {docs_rel}
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS running
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.doc_id, b.n_tokens, b.rn,
+         CASE WHEN p.running + b.n_tokens > {budget} THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.running + b.n_tokens > {budget} THEN b.n_tokens
+              ELSE p.running + b.n_tokens END
+  FROM packed p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
+)
+SELECT shard, doc_id, n_tokens, CAST(bin AS INT) AS bin FROM packed
+""".strip()
+
+
+# ------------------------------------------------------ unigram LM score
+
+def unigram_logprob(docs: DataFrame, top_v: int = 20) -> DataFrame:
+    """(doc_id, n_tokens, oov_tokens, mean_log2p): per-doc mean log2
+    probability under a corpus-trained unigram LM — the LM-quality-filter
+    shape (CCNet-style) with the n-gram order dropped to 1 so both engines
+    agree bit-for-bit.
+
+    Vocabulary = top `top_v` tokens by (freq desc, token asc); everything
+    else is OOV and floored at p = 1/total. The cap bounds the broadcast at
+    any corpus size; the two aggs (vocab freq, per-doc mean) are classic
+    partial+final hash aggs.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total_df = freq.agg(F.sum("freq").cast("double").alias("total"))
+    vocab = (
+        freq.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_v)
+        .crossJoin(F.broadcast(total_df))
+        .select("token", (F.col("freq") / F.col("total")).alias("p"))
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "doc_id",
+            F.col("p").isNull().cast("int").alias("oov"),
+            F.log2(F.coalesce("p", 1.0 / F.col("total"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("oov_tokens"),
+        F.round(F.avg("lp"), ROUND).alias("mean_log2p"),
+    )
+
+
+def unigram_logprob_duck_sql(docs_rel: str, top_v: int = 20) -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS token FROM {docs_rel}),
+freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq),
+vocab AS (SELECT token, freq / (SELECT total FROM tot) AS p
+          FROM freq ORDER BY freq DESC, token ASC LIMIT {top_v}),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN v.p IS NULL THEN 1 ELSE 0 END AS oov,
+         log2(coalesce(v.p, 1.0 / (SELECT total FROM tot))) AS lp
+  FROM tok t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       round(avg(lp), {ROUND}) AS mean_log2p
+FROM scored GROUP BY doc_id
+""".strip()

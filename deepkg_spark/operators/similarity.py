@@ -136,6 +136,80 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     return float(joined.agg(F.avg("r")).collect()[0][0])
 
 
+# ---------------------------------------------------------------- STS eval
+
+def sts_spearman(pairs: DataFrame) -> DataFrame:
+    """1-row (n_pairs, spearman): Spearman rank correlation between the
+    engine's cosine similarity of embedding pairs and a gold score — the
+    SimCSE STS evaluation metric (SimCSE-Chinese-Pytorch/simcse_unsup.py
+    eval computes spearmanr(cos_sim, gold)).
+
+    Input: pairs(pair_id, avec, bvec, gold). Ranks are row_number over
+    (value asc, pair_id asc) — a deterministic total order shared with the
+    oracle (classic average-rank Spearman differs only under ties, and the
+    tie-break is pinned); Spearman = Pearson corr of the two rank columns,
+    one 4-counter aggregate. Everything is JVM-side: zip_with dot product,
+    two window ranks, F.corr. The unpartitioned rank window funnels the
+    pair set through one task — correct for this operator's domain (STS
+    eval sets are thousands of rows, cosine computation stays distributed);
+    for corpus-scale rank correlations use an approximate quantile-bucket
+    rank instead."""
+    cos = pairs.select(
+        "pair_id",
+        "gold",
+        F.expr(
+            "aggregate(zip_with(avec, bvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("dot"),
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(avec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+        ).alias("na"),
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(bvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+        ).alias("nb"),
+    ).select(
+        "pair_id",
+        "gold",
+        (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
+    )
+    wc = Window.orderBy(F.asc("cos"), F.asc("pair_id"))
+    wg = Window.orderBy(F.asc("gold"), F.asc("pair_id"))
+    ranked = cos.select(
+        F.row_number().over(wc).cast("double").alias("rc"),
+        F.row_number().over(wg).cast("double").alias("rg"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("rc", "rg"), ROUND).alias("spearman"),
+    )
+
+
+def sts_spearman_duck_sql(pairs_rel: str) -> str:
+    return f"""
+WITH cos AS (
+  SELECT pair_id, gold,
+         list_dot_product(avec::DOUBLE[], bvec::DOUBLE[]) /
+         (sqrt(list_dot_product(avec::DOUBLE[], avec::DOUBLE[])) *
+          sqrt(list_dot_product(bvec::DOUBLE[], bvec::DOUBLE[]))) AS cos
+  FROM {pairs_rel}
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos ASC, pair_id ASC) AS DOUBLE) AS rc,
+         CAST(row_number() OVER (ORDER BY gold ASC, pair_id ASC) AS DOUBLE) AS rg
+  FROM cos
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(rc, rg), {ROUND}) AS spearman
+FROM ranked
+""".strip()
+
+
 # ---------------------------------------------------------------- IVF-flat
 
 N_CELLS = 16

@@ -198,6 +198,56 @@ def main() -> None:
         forbidden=["SortMergeJoin"],
     )
 
+    # curation family
+    from deepkg_spark.operators.curation import (
+        decontaminate,
+        pack_sequences,
+        repetition_stats,
+        sample_stratified,
+        unigram_logprob,
+    )
+    from deepkg_spark.operators.textstats import lang_id
+
+    # stratified sampling is a pure narrow filter: NO exchange of any kind
+    audit(
+        "sample_stratified (zero-shuffle narrow filter)",
+        sample_stratified(
+            docs.select("doc_id", F.lit("en").alias("stratum")), {"en": 500}
+        ),
+        required=["Filter"],
+        forbidden=["Exchange"],
+    )
+    # decontamination: eval-side distinct hashes broadcast, never a product
+    ev_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    tr_docs = docs.filter(F.col("doc_id") % 20 != 0)
+    audit(
+        "decontaminate (broadcast eval hashes, no cross product)",
+        decontaminate(tr_docs, ev_docs, n=5),
+        required=["BroadcastHashJoin"],
+        forbidden=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    # repetition stats: two partial+final aggs, one tagged explode
+    audit(
+        "repetition_stats (partial+final aggs, single explode)",
+        repetition_stats(docs),
+        required=["HashAggregate", "Generate"],
+        forbidden=["CartesianProduct"],
+    )
+    # unigram LM: capped vocab broadcast; token join is never sort-merge
+    audit(
+        "unigram_logprob (broadcast top-V vocab)",
+        unigram_logprob(docs, top_v=20),
+        required=["BroadcastHashJoin"],
+        forbidden=["SortMergeJoin"],
+    )
+    # packing: exactly one shuffle (shard) into a grouped Arrow stage
+    audit(
+        "pack_sequences (one shard exchange into grouped Arrow stage)",
+        pack_sequences(docs, budget=128, shard_size=50),
+        required=["FlatMapGroupsInPandas"],
+        forbidden=["SortMergeJoin", "CartesianProduct"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (regenerate: python -m "

@@ -1,0 +1,158 @@
+"""Curation operators (repetition / decontamination / sampling / packing /
+unigram LM) and the STS Spearman eval vs DuckDB oracles."""
+
+from pyspark.sql import functions as F
+
+from deepkg_spark.operators.curation import (
+    decontaminate,
+    decontaminate_duck_sql,
+    pack_sequences,
+    pack_sequences_duck_sql,
+    repetition_stats,
+    repetition_stats_duck_sql,
+    sample_stratified,
+    sample_stratified_duck_sql,
+    unigram_logprob,
+    unigram_logprob_duck_sql,
+)
+from deepkg_spark.operators.similarity import sts_spearman, sts_spearman_duck_sql
+from deepkg_spark.operators.textstats import lang_id, lang_id_duck_sql
+from tests.compare import compare_spark_duck, duck_connect
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def test_repetition_stats(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    df = repetition_stats(_docs(spark, sf_dir))
+    compare_spark_duck(df, con, repetition_stats_duck_sql("documents"))
+    # a fully repeated doc maxes the signals
+    one = spark.createDataFrame([(1, "x x x x x x"), (2, "a b c d e f")], "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(one).collect()}
+    assert rows[1]["top_tok_frac"] == 1.0 and rows[1]["dup_3gram_frac"] > 0.5
+    assert rows[2]["dup_3gram_frac"] == 0.0
+
+
+def test_repetition_empty_doc(spark):
+    one = spark.createDataFrame([(1, ""), (2, "a")], "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(one).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["top_tok_frac"] == 0.0
+    assert rows[2]["n_tokens"] == 1 and rows[2]["top_2gram_frac"] == 0.0
+
+
+def test_decontaminate(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0).unionByName(
+        ev.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    df = decontaminate(tr, ev, n=5)
+    sql = f"""
+WITH eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+train_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text FROM documents
+  WHERE doc_id % 20 = 0 AND doc_id < 100
+), {decontaminate_duck_sql('train_docs', 'eval_docs', n=5)[5:]}
+"""
+    compare_spark_duck(df, con, sql)
+    # every planted copy is contaminated (shares all its n-grams with eval)
+    planted = df.filter(F.col("doc_id") >= 500000).collect()
+    assert planted and all(r["contaminated"] for r in planted)
+    assert all(r["n_hits"] == r["n_grams"] for r in planted)
+
+
+def test_sample_stratified(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    rates = {"en": 500, "de": 300}
+    df = sample_stratified(
+        lang_id(_docs(spark, sf_dir)), rates, default_permille=100,
+        stratum_col="pred_lang",
+    )
+    compare_spark_duck(
+        df,
+        con,
+        sample_stratified_duck_sql(
+            f"({lang_id_duck_sql('documents')})", rates, default_permille=100,
+            stratum_col="pred_lang",
+        ),
+    )
+    # determinism across partitionings: same rows at any parallelism
+    a = sorted(r["doc_id"] for r in df.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_stratified(
+            lang_id(_docs(spark, sf_dir).repartition(7)), rates,
+            default_permille=100, stratum_col="pred_lang",
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    df = pack_sequences(_docs(spark, sf_dir), budget=128, shard_size=50)
+    compare_spark_duck(
+        df, con, pack_sequences_duck_sql("documents", budget=128, shard_size=50)
+    )
+    # bin invariant: every bin fits the budget unless it is a single oversized doc
+    rows = df.collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r["n_tokens"])
+    for toks in by_bin.values():
+        assert sum(toks) <= 128 or len(toks) == 1
+
+
+def test_pack_sequences_oversized_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "a " * 200), (1, "b b"), (2, "c c")], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, budget=10, shard_size=100).collect()}
+    assert rows[0]["bin"] == 0  # oversized first doc opens bin 0 alone
+    assert rows[1]["bin"] == 1 and rows[2]["bin"] == 1
+
+
+def test_unigram_logprob(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    df = unigram_logprob(_docs(spark, sf_dir), top_v=20)
+    compare_spark_duck(df, con, unigram_logprob_duck_sql("documents", top_v=20))
+    # logprobs are negative; OOV never exceeds token count
+    for r in df.collect():
+        assert r["mean_log2p"] < 0 and 0 <= r["oov_tokens"] <= r["n_tokens"]
+
+
+def test_sts_spearman(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    con = duck_connect(sf_dir)
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    df = sts_spearman(spark.sql(entrymod._sts_pairs_sql("spark")))
+    compare_spark_duck(
+        df, con, sts_spearman_duck_sql(f"({entrymod._sts_pairs_sql('duck')})")
+    )
+    row = df.collect()[0]
+    assert row["n_pairs"] > 0 and -1.0 <= row["spearman"] <= 1.0
+
+
+def test_sts_spearman_perfect_and_inverse(spark):
+    # gold == cos ranking -> 1.0; reversed gold -> -1.0
+    pairs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0], 0.9),
+            (2, [1.0, 0.0], [0.7, 0.7], 0.5),
+            (3, [1.0, 0.0], [0.0, 1.0], 0.1),
+        ],
+        "pair_id int, avec array<double>, bvec array<double>, gold double",
+    )
+    assert sts_spearman(pairs).collect()[0]["spearman"] == 1.0
+    inv = pairs.select("pair_id", "avec", "bvec", (1.0 - F.col("gold")).alias("gold"))
+    assert sts_spearman(inv).collect()[0]["spearman"] == -1.0
