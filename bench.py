@@ -79,8 +79,9 @@ def main() -> None:
 
     # best-of-N: the sandbox host is shared and its delivered CPU varies
     # minute-to-minute (see BENCH.md); min over repeats reports the engine,
-    # not the neighbors
-    repeats = int(os.environ.get("DEEPKG_BENCH_REPEATS", "2"))
+    # not the neighbors. 3 repeats so the first (cache-populating, often
+    # noise-hit) run can never define a query's reported time.
+    repeats = int(os.environ.get("DEEPKG_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         best = None
