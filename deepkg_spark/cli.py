@@ -14,6 +14,11 @@ Jobs:
                 (connected components) -> parquet
     link        documents x dictionary parquet (term_id, name) -> BM25 top-N
                 candidates -> parquet
+    curate      end-to-end training-data curation: quality + repetition
+                gates -> near-dup collapse (LSH pairs -> connected
+                components, keep min doc_id) -> eval-set n-gram
+                decontamination -> stratified language sampling -> next-fit
+                sequence packing -> parquet + per-stage funnel counts
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="deepkg_spark job runner")
     ap.add_argument(
         "--job",
-        choices=["triples", "graph", "incremental", "dedup", "link"],
+        choices=["triples", "graph", "incremental", "dedup", "link", "curate"],
         required=True,
     )
     ap.add_argument("--sf-dir", required=True)
@@ -37,6 +42,12 @@ def main() -> None:
     ap.add_argument("--dict", dest="dict_path", default=None,
                     help="link: parquet with (term_id, name); defaults to part table")
     ap.add_argument("--topn", type=int, default=5)
+    ap.add_argument("--qmin", type=float, default=0.3, help="curate: min quality score")
+    ap.add_argument("--rmax", type=float, default=0.5,
+                    help="curate: max duplicate-3-gram fraction")
+    ap.add_argument("--budget", type=int, default=512, help="curate: tokens per bin")
+    ap.add_argument("--shard-size", type=int, default=1000,
+                    help="curate: docs per packing shard")
     args = ap.parse_args()
 
     # imports resolve from --py-files on executors and driver alike
@@ -73,6 +84,91 @@ def main() -> None:
             spark.read.parquet(f"{args.out}/clusters").select("component").distinct().count()
         )
         print(json.dumps({"job": "dedup", "pairs": n_pairs, "clusters": n_clusters}))
+        spark.stop()
+        return
+
+    if args.job == "curate":
+        from pyspark.sql import functions as F
+
+        from deepkg_spark.operators.curation import (
+            decontaminate,
+            pack_sequences,
+            repetition_stats,
+            sample_stratified,
+        )
+        from deepkg_spark.operators.dedup import minhash_lsh_pairs
+        from deepkg_spark.operators.graph import connected_components
+        from deepkg_spark.operators.textstats import lang_id, quality_score
+
+        all_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        # hold out every 20th doc as the eval split; curate the rest
+        ev = all_docs.filter(F.col("doc_id") % 20 == 0)
+        docs = all_docs.filter(F.col("doc_id") % 20 != 0).persist()
+        n0 = docs.count()
+
+        # 1. quality + repetition gates (two narrow passes, joined on doc_id)
+        gated = (
+            docs.join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+            .join(
+                repetition_stats(docs).select("doc_id", "dup_3gram_frac"), "doc_id"
+            )
+            .filter(
+                (F.col("quality") >= args.qmin)
+                & (F.col("dup_3gram_frac") <= args.rmax)
+            )
+            .select("doc_id", "text")
+            .persist()
+        )
+        n1 = gated.count()
+
+        # 2. near-dup collapse: LSH pairs -> connected components, keep the
+        #    MIN doc_id of every duplicate cluster (deterministic survivor)
+        pairs = minhash_lsh_pairs(gated, tau=args.tau).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        comp = connected_components(gated.select(F.col("doc_id").alias("v")), pairs)
+        reps = comp.groupBy("component").agg(F.min("v").alias("doc_id"))
+        deduped = gated.join(reps.select("doc_id"), "doc_id", "left_semi").persist()
+        n2 = deduped.count()
+
+        # 3. drop docs sharing any 5-gram with the eval split
+        flags = decontaminate(deduped, ev, n=5)
+        clean = deduped.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id",
+            "left_semi",
+        ).persist()
+        n3 = clean.count()
+
+        # 4. stratified sampling by predicted language (hash-deterministic)
+        lang = lang_id(clean).select("doc_id", "pred_lang")
+        sampled = sample_stratified(
+            clean.join(lang, "doc_id"),
+            {"en": 900},
+            default_permille=500,
+            stratum_col="pred_lang",
+        ).select("doc_id", "text").persist()
+        n4 = sampled.count()
+
+        # 5. pack into token-budget bins and materialize
+        packed = pack_sequences(sampled, budget=args.budget, shard_size=args.shard_size)
+        packed.write.mode("overwrite").parquet(f"{args.out}/packed")
+        out = spark.read.parquet(f"{args.out}/packed")
+        n_bins = out.select("shard", "bin").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "job": "curate",
+                    "input": n0,
+                    "after_quality": n1,
+                    "after_dedup": n2,
+                    "after_decontaminate": n3,
+                    "after_sample": n4,
+                    "bins": n_bins,
+                }
+            )
+        )
         spark.stop()
         return
 

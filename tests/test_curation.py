@@ -143,6 +143,55 @@ def test_sts_spearman(spark, sf_dir):
     assert row["n_pairs"] > 0 and -1.0 <= row["spearman"] <= 1.0
 
 
+def test_pack_sequences_properties_hypothesis():
+    """Next-fit invariants over generated corpora, via the DuckDB twin (the
+    Spark==DuckDB equality is proven in test_pack_sequences; here the shared
+    semantics are property-tested fast, no Spark round-trip per example)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+        st.integers(min_value=1, max_value=50),
+    )
+    def check(tok_lens, budget):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        for i, t in enumerate(tok_lens):
+            con.execute("INSERT INTO d VALUES (?, ?)", [i, "x " * t])
+        rows = con.sql(
+            pack_sequences_duck_sql("d", budget=budget, shard_size=25)
+            + " ORDER BY shard, doc_id"
+        ).fetchall()
+        assert len(rows) == len(tok_lens)  # every doc lands in exactly one bin
+        by_bin, last = {}, {}
+        for shard, doc_id, n_tokens, b in rows:
+            # bins are nondecreasing in doc order and never skip numbers
+            prev = last.get(shard, -1)
+            assert b in (prev, prev + 1) if prev >= 0 else b == 0
+            last[shard] = b
+            by_bin.setdefault((shard, b), []).append(n_tokens)
+        for toks in by_bin.values():
+            assert sum(toks) <= budget or len(toks) == 1
+
+    check()
+
+
+def test_sample_stratified_nested(spark, sf_dir):
+    """Raising a stratum's rate only ADDS rows (hash thresholding is nested)
+    — the property that makes rate tuning reproducible on a live corpus."""
+    base = lang_id(_docs(spark, sf_dir))
+    small = {r["doc_id"] for r in sample_stratified(
+        base, {"en": 200}, default_permille=100, stratum_col="pred_lang"
+    ).collect()}
+    big = {r["doc_id"] for r in sample_stratified(
+        base, {"en": 600}, default_permille=300, stratum_col="pred_lang"
+    ).collect()}
+    assert small < big
+
+
 def test_sts_spearman_perfect_and_inverse(spark):
     # gold == cos ranking -> 1.0; reversed gold -> -1.0
     pairs = spark.createDataFrame(

@@ -64,3 +64,34 @@ def test_spark_submit_dedup_and_link_jobs(sf_dir):
         assert d["clusters"] > 0
         l = run("link", ("--topn", "3"))
         assert l["candidates"] > 0
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_curate_job(sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", "/root/repo", "deepkg_spark")
+        out = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--py-files", zip_path,
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=2",
+                "/root/repo/deepkg_spark/cli.py",
+                "--job", "curate",
+                "--sf-dir", sf_dir,
+                "--out", f"{tmp}/curate",
+                "--budget", "256",
+                "--shard-size", "100",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        payload = [l for l in out.stdout.splitlines() if l.startswith('{"job"')]
+        res = json.loads(payload[-1])
+        # the funnel only ever narrows, and every stage survives non-empty
+        assert (
+            res["input"] >= res["after_quality"] >= res["after_dedup"]
+            >= res["after_decontaminate"] >= res["after_sample"] > 0
+        )
+        assert 0 < res["bins"] <= res["after_sample"]
