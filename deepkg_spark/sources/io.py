@@ -97,3 +97,29 @@ def write_table(df: DataFrame, ident: str, spark: SparkSession) -> str:
     path = f"/tmp/deepkg_tables/{ident.replace('.', '/')}"
     df.write.mode("overwrite").parquet(path)
     return f"parquet:{path}"
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a hash-bucketed managed table so every later join or
+    aggregation on `bucket_col` reads pre-co-located buckets and SKIPS the
+    shuffle — the storage-side half of the engine's scale design (the
+    runtime halves being broadcast for dictionary-sized sides and AQE skew
+    handling for everything else).
+
+    At 100 TB this is how the static tables are laid out once and joined
+    many times: the postings/dictionary table bucketed by term, the edge
+    table by subj, the embeddings table by vec_id. Two tables bucketed by
+    the same column into the same bucket count join with ZERO exchanges on
+    either side (asserted by tests/test_bucketed.py against the physical
+    plan); a groupBy on the bucket column likewise skips its exchange.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
