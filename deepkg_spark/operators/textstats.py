@@ -134,7 +134,10 @@ WITH t AS (
   SELECT doc_id, n_chars,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(list_filter(toks, x -> list_contains([{arr}], x))) AS BIGINT) AS n_stop,
-         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars
+         -- list_sum([]) is NULL in DuckDB (and least() would then SKIP the
+         -- null term); Spark's aggregate() folds to 0 — pin the engine
+         -- semantics on zero-token docs
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tok_chars
   FROM t
 )
 SELECT doc_id, n_chars, n_tokens,
