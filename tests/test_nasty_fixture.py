@@ -24,6 +24,20 @@ from deepkg_spark.operators.phrases import (
     ngram_stats,
     ngram_stats_duck_sql,
 )
+from deepkg_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_duck_sql,
+    jaccard_pairs,
+    jaccard_pairs_duck_sql,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_duck_sql,
+    minhash_signatures,
+    minhash_signatures_duck_sql,
+    simhash,
+    simhash_duck_sql,
+    simhash_pairs,
+    simhash_pairs_duck_sql,
+)
 from deepkg_spark.operators.textstats import (
     fingerprints,
     fingerprints_duck_sql,
@@ -33,6 +47,8 @@ from deepkg_spark.operators.textstats import (
     quality_score_duck_sql,
     token_counts,
     token_counts_duck_sql,
+    wordpieces,
+    wordpieces_duck_sql,
 )
 from tests.compare import compare_spark_duck
 
@@ -84,6 +100,13 @@ CASES = [
     (fingerprints, fingerprints_duck_sql, {}),
     (ngram_stats, ngram_stats_duck_sql, {}),
     (neighbor_entropy, neighbor_entropy_duck_sql, {}),
+    (wordpieces, wordpieces_duck_sql, {}),
+    (dedup_exact, dedup_exact_duck_sql, {}),
+    (minhash_signatures, minhash_signatures_duck_sql, {}),
+    (minhash_lsh_pairs, minhash_lsh_pairs_duck_sql, {"tau": 0.3}),
+    (simhash, simhash_duck_sql, {}),
+    (simhash_pairs, simhash_pairs_duck_sql, {"max_hamming": 8}),
+    (jaccard_pairs, jaccard_pairs_duck_sql, {"tau": 0.3}),
 ]
 
 
