@@ -79,18 +79,17 @@ def main() -> None:
 
     # best-of-N: the sandbox host is shared and its delivered CPU varies
     # minute-to-minute (see BENCH.md); min over repeats reports the engine,
-    # not the neighbors. 3 repeats so the first (cache-populating, often
-    # noise-hit) run can never define a query's reported time.
+    # not the neighbors. Repeats are INTERLEAVED (full pass over all queries
+    # per cycle) so one multi-minute noise burst cannot poison every sample
+    # of a single query — its samples land minutes apart.
     repeats = int(os.environ.get("DEEPKG_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        best = None
-        for _ in range(repeats):
+    for _ in range(repeats):
+        for name, fn in queries.items():
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     total = round(sum(timings.values()), 3)
     print(
