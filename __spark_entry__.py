@@ -758,15 +758,20 @@ def _q_triples_offsets(spark, sf_dir):
 
 def _q_phrase_quality(spark, sf_dir):
     """AutoPhrase distant-supervision loop (driver-side numpy classifier over
-    distributed stats; training loop not SQL-expressible -> rows-only)."""
+    distributed stats; training loop not SQL-expressible -> rows-only).
+    One cached ngram_stats table feeds BOTH the quality-dictionary mining
+    (max_n=2 slice) and the feature table — a single corpus scan for the
+    whole loop."""
     docs = _docs(spark, sf_dir)
+    stats = ngram_stats(docs, 3).cache()
     quality = {
         r["ngram"]
         for r in _phrase_cand_for_dict(
-            docs, min_freq=5, min_len=2, max_n=2, topk=10
+            docs, min_freq=5, min_len=2, max_n=2, topk=10, stats=stats
         ).collect()
     }
-    pdf = phrase_quality_scores(docs, quality)
+    pdf = phrase_quality_scores(docs, quality, stats=stats)
+    stats.unpersist()
     return spark.createDataFrame(pdf.assign(round_promoted=pdf["round_promoted"].astype(int)))
 
 

@@ -292,11 +292,18 @@ SELECT ngram, left_entropy, right_entropy FROM le JOIN re USING (ngram)
 """.strip()
 
 
-def phrase_features(docs: DataFrame, max_n: int = 3, min_freq: int = 3) -> DataFrame:
+def phrase_features(
+    docs: DataFrame,
+    max_n: int = 3,
+    min_freq: int = 3,
+    stats: DataFrame | None = None,
+) -> DataFrame:
     """(ngram, n, freq, doc_freq, pmi, idf, left_entropy, right_entropy) for
     multi-word candidates — the AutoPhrase feature table
-    (extractors.py:101-290) assembled from the distributed aggs above."""
-    stats = ngram_stats(docs, max_n).cache()
+    (extractors.py:101-290) assembled from the distributed aggs above.
+    Pass a cached `stats` (ngram_stats at >= max_n) to share the corpus scan
+    with other consumers."""
+    stats = stats if stats is not None else ngram_stats(docs, max_n).cache()
     p = pmi(docs, max_n, stats=stats).filter(F.col("freq") >= min_freq)
     i = idf(docs, max_n, stats=stats).select("ngram", "idf", "doc_freq")
     e = neighbor_entropy_multi(docs, tuple(range(2, max_n + 1)))
@@ -320,6 +327,7 @@ def phrase_quality_scores(
     epochs: int = 200,
     lr: float = 0.5,
     topk: int = 10_000,
+    stats: DataFrame | None = None,
 ) -> pd.DataFrame:
     """AutoPhrase-style distant-supervision loop (autophrase.py:63-148,
     168-228 semantics, re-implemented):
@@ -344,7 +352,7 @@ def phrase_quality_scores(
     # freq >= min_freq" over a 100 TB corpus is billions of rows and must
     # never reach the driver. Deterministic order: (freq desc, ngram asc).
     feats = (
-        phrase_features(docs, max_n, min_freq)
+        phrase_features(docs, max_n, min_freq, stats=stats)
         .orderBy(F.desc("freq"), F.asc("ngram"))
         .limit(topk)
         .toPandas()
@@ -398,12 +406,18 @@ def phrase_candidates(
     max_n: int = 3,
     topk: int = 200,
     stopwords: tuple[str, ...] = ("a", "the"),
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Frequent-phrase selection (selector.py:51-70, 107-135): n-grams with
     freq >= min_freq, token length >= min_len, containing no stopword; global
-    top-k by (freq desc, ngram asc) for determinism."""
-    stats = ngram_stats(docs, max_n).filter(
-        (F.col("freq") >= min_freq) & (F.col("n") >= min_len)
+    top-k by (freq desc, ngram asc) for determinism. Pass a cached `stats`
+    built at a LARGER max_n to reuse its corpus scan (the n <= max_n filter
+    keeps results identical)."""
+    stats = stats if stats is not None else ngram_stats(docs, max_n)
+    stats = stats.filter(
+        (F.col("freq") >= min_freq)
+        & (F.col("n") >= min_len)
+        & (F.col("n") <= max_n)
     )
     stop_arr = ", ".join(f"'{s}'" for s in stopwords)
     kept = stats.filter(
