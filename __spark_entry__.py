@@ -784,10 +784,15 @@ def _q_distant(spark, sf_dir):
     (top bigrams = core entries, top trigrams = noisy full entries).
     DP segmentation is not SQL-expressible -> rows-only driver check."""
     docs = _docs(spark, sf_dir)
-    core = _phrase_cand_for_dict(docs, min_freq=5, min_len=2, max_n=2, topk=30).select(
+    stats = ngram_stats(docs, 3).cache()
+    core = _phrase_cand_for_dict(
+        docs, min_freq=5, min_len=2, max_n=2, topk=30, stats=stats
+    ).select(
         F.col("ngram").alias("surface"), F.lit("phrase").alias("type"), F.lit(True).alias("is_core")
     )
-    full = _phrase_cand_for_dict(docs, min_freq=3, min_len=3, max_n=3, topk=20).select(
+    full = _phrase_cand_for_dict(
+        docs, min_freq=3, min_len=3, max_n=3, topk=20, stats=stats
+    ).select(
         F.col("ngram").alias("surface"), F.lit("phrase3").alias("type"), F.lit(False).alias("is_core")
     )
     return distant_supervision(docs, core.unionByName(full))
