@@ -44,11 +44,13 @@ from deepkg_spark.operators.linking import (
     training_pairs_gold_duck_sql,
 )
 from deepkg_spark.operators.multimodal import (
-    frame_sample,
+    frame_sample_duck_sql,
+    frame_sample_hex,
     media_features,
     media_features_duck_sql,
     media_features_exploded,
-    media_resize,
+    media_resize_duck_sql,
+    media_resize_hex,
     synth_media,
 )
 from deepkg_spark.operators.dedup import (
@@ -620,15 +622,16 @@ def _q_media_features(spark, sf_dir):
 
 
 def _q_media_resize(spark, sf_dir):
-    """Binary-out resize plumbing (payload re-encoded, meta updated) — the
-    decode step is the documented codec seam; deterministic fake raster, so
-    rows-only (binary payload output is not SQL-expressible)."""
-    return media_resize(synth_media(spark, _docs(spark, sf_dir)), w=16, h=16)
+    """Resize plumbing (payload re-encoded, meta updated), hex-encoded and
+    meta-flattened so the deterministic fake raster gets an EXACT DuckDB
+    oracle (modular arithmetic over the sha256 digest)."""
+    return media_resize_hex(synth_media(spark, _docs(spark, sf_dir)), w=16, h=16)
 
 
 def _q_media_frames(spark, sf_dir):
-    """Video frame sampling (UDTF-shaped, rows-only check)."""
-    return frame_sample(synth_media(spark, _docs(spark, sf_dir)), every=10)
+    """Video frame sampling (UDTF-shaped), frames hex-encoded for the exact
+    sha256-based DuckDB oracle."""
+    return frame_sample_hex(synth_media(spark, _docs(spark, sf_dir)), every=10)
 
 
 # ------------------------------------------------- curation (LLM pipeline)
@@ -1079,5 +1082,6 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
 FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
 """.strip(),
         "mm_media_features": media_features_duck_sql("documents"),
-        # mm_frame_sample: emits raw sha256 frame bytes -> rows-only check
+        "mm_frame_sample": frame_sample_duck_sql("documents", every=10),
+        "mm_resize": media_resize_duck_sql("documents", w=16, h=16),
     }

@@ -132,7 +132,12 @@ def frame_sample(media: DataFrame, every: int = 10, fake: bool = True) -> DataFr
                 if not fake:
                     _codec_decode(bytes(payload), "video")
                 for fno in range(0, int(meta["n_frames"]), every):
-                    frame = hashlib.sha256(bytes(payload) + fno.to_bytes(4, "big")).digest()
+                    # fake frame = sha256(payload || ':' || ascii frame_no):
+                    # bytes-safe on real payloads, VARCHAR-expressible in the
+                    # oracle (DuckDB's sha256 accepts VARCHAR only)
+                    frame = hashlib.sha256(
+                        bytes(payload) + b":" + str(fno).encode()
+                    ).digest()
                     rows["media_id"].append(media_id)
                     rows["frame_no"].append(fno)
                     rows["frame"].append(frame)
@@ -150,6 +155,77 @@ def media_features_exploded(media: DataFrame, fake: bool = True) -> DataFrame:
     return media_features(media, fake=fake).selectExpr(
         "media_id", "kind", "posexplode(feature) AS (dim, value)"
     )
+
+
+def frame_sample_hex(media: DataFrame, every: int = 10, fake: bool = True) -> DataFrame:
+    """frame_sample with the frame bytes hex-encoded — the driver- and
+    oracle-comparable shape (binary columns pass the rows-only check only;
+    lowercase hex strings hash identically in both engines)."""
+    return frame_sample(media, every=every, fake=fake).selectExpr(
+        "media_id", "frame_no", "lower(hex(frame)) AS frame_hex"
+    )
+
+
+def frame_sample_duck_sql(docs_rel: str = "documents", every: int = 10) -> str:
+    """Exact DuckDB oracle for frame_sample_hex over synth_media(docs):
+    frame = sha256(payload || ':' || frame_no), video rows (doc_id % 3 = 2)
+    only, frame_no in range(0, n_frames, every)."""
+    return f"""
+WITH med AS (
+  SELECT doc_id AS media_id, text AS pay,
+         1 + doc_id % 30 AS n_frames
+  FROM {docs_rel} WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id, pay,
+         CAST(unnest(range(0, n_frames, {every})) AS INT) AS frame_no
+  FROM med
+)
+SELECT media_id, frame_no,
+       sha256(pay || ':' || CAST(frame_no AS VARCHAR)) AS frame_hex
+FROM f
+""".strip()
+
+
+def media_resize_hex(media: DataFrame, w: int, h: int, fake: bool = True) -> DataFrame:
+    """media_resize with the payload hex-encoded and meta flattened to
+    scalars — the exact-oracle shape."""
+    return media_resize(media, w=w, h=h, fake=fake).selectExpr(
+        "media_id",
+        "lower(hex(payload)) AS payload_hex",
+        "meta.width AS width",
+        "meta.height AS height",
+        "meta.sample_rate AS sample_rate",
+        "meta.n_frames AS n_frames",
+    )
+
+
+def media_resize_duck_sql(docs_rel: str = "documents", w: int = 16, h: int = 16) -> str:
+    """Exact DuckDB oracle for media_resize_hex over synth_media(docs).
+
+    The fake raster is the sha256 digest tiled to the ORIGINAL w0*h0, then
+    np.resize re-tiles it to h*w: byte[i] = digest[(i % (w0*h0)) % 32] —
+    pure modular arithmetic over the digest hex pairs."""
+    return f"""
+WITH med AS (
+  SELECT doc_id AS media_id, sha256(text) AS hex,
+         (32 + doc_id % 64) * (32 + doc_id % 48) AS n0
+  FROM {docs_rel}
+),
+b AS (
+  SELECT media_id, n0,
+         list_transform(range(32), i -> substr(hex, CAST(i * 2 + 1 AS INT), 2)) AS hx
+  FROM med
+)
+SELECT media_id,
+       array_to_string(
+         list_transform(range({h * w}),
+           i -> hx[CAST((i % n0) % 32 AS INT) + 1]), '') AS payload_hex,
+       CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(1 + media_id % 30 AS INT) AS n_frames
+FROM b
+""".strip()
 
 
 def media_features_duck_sql(docs_rel: str = "documents") -> str:
