@@ -109,7 +109,11 @@ from deepkg_spark.operators.events import (
     windowed_counts_duck_sql,
 )
 from deepkg_spark.operators.phrases import phrase_candidates as _phrase_cand_for_dict
-from deepkg_spark.operators.phrases import phrase_quality_scores
+from deepkg_spark.operators.phrases import (
+    phrase_features,
+    phrase_features_duck_sql,
+    phrase_quality_scores,
+)
 from deepkg_spark.operators.sel import sel_roundtrip_triples
 from deepkg_spark.operators.similarity import (
     ivf_topk,
@@ -583,6 +587,13 @@ def _q_candidates(spark, sf_dir):
     return phrase_candidates(_docs(spark, sf_dir))
 
 
+def _q_phrase_features(spark, sf_dir):
+    """The full AutoPhrase feature table (freq/doc_freq/pmi/idf/entropies) —
+    the distributed half of the quality loop, exact-oracle checked (the
+    driver-side classifier itself stays rows-only in ph_quality_loop)."""
+    return phrase_features(_docs(spark, sf_dir), max_n=3, min_freq=3)
+
+
 def _q_link_pairs(spark, sf_dir):
     """Hash-sampled (query, candidate, label) training pairs from BM25 ranks."""
     return training_pairs(_q_link_bm25(spark, sf_dir), neg_per_pos=2)
@@ -918,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ph_idf": _q_idf,
         "ph_entropy": _q_entropy,
         "ph_candidates": _q_candidates,
+        "ph_features": _q_phrase_features,
         "ph_quality_loop": _q_phrase_quality,
         "kg_sel_roundtrip": _q_sel_roundtrip,
         "ner_distant_dp": _q_distant,
@@ -1033,6 +1045,7 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
         "ph_idf": idf_duck_sql("documents", 2),
         "ph_entropy": neighbor_entropy_duck_sql("documents", 2),
         "ph_candidates": phrase_candidates_duck_sql("documents"),
+        "ph_features": phrase_features_duck_sql("documents", max_n=3, min_freq=3),
         "kg_sel_roundtrip": _with_corpus(
             "SELECT repo, path, subj, subj_type, pred, obj, obj_type FROM ("
             + triples_duck_sql()

@@ -317,6 +317,29 @@ def phrase_features(
     )
 
 
+def phrase_features_duck_sql(docs_rel: str, max_n: int = 3, min_freq: int = 3) -> str:
+    """Exact DuckDB twin of phrase_features: the distributed half of the
+    AutoPhrase quality loop (the driver-side classifier stays rows-only, but
+    every feature it consumes is oracle-checked here). Entropies for all n
+    in 2..max_n union cleanly because n-grams of different sizes are
+    distinct strings."""
+    ent_union = " UNION ALL ".join(
+        f"SELECT * FROM ({neighbor_entropy_duck_sql(docs_rel, n)})"
+        for n in range(2, max_n + 1)
+    )
+    return f"""
+WITH p AS ({pmi_duck_sql(docs_rel, max_n)}),
+i AS ({idf_duck_sql(docs_rel, max_n)}),
+e AS ({ent_union})
+SELECT p.ngram, p.n, p.freq, ii.doc_freq, p.pmi, ii.idf,
+       e.left_entropy, e.right_entropy
+FROM p
+JOIN (SELECT ngram, doc_freq, idf FROM i) ii ON p.ngram = ii.ngram
+JOIN e ON p.ngram = e.ngram
+WHERE p.freq >= {min_freq}
+""".strip()
+
+
 def phrase_quality_scores(
     docs: DataFrame,
     quality_phrases: set[str],
