@@ -46,7 +46,6 @@ from deepkg_spark.operators.linking import (
 from deepkg_spark.operators.multimodal import (
     frame_sample_duck_sql,
     frame_sample_hex,
-    media_features,
     media_features_duck_sql,
     media_features_exploded,
     media_resize_duck_sql,
@@ -724,6 +723,34 @@ def _q_sts_spearman(spark, sf_dir):
     return sts_spearman(spark.sql(_sts_pairs_sql("spark")))
 
 
+def _q_score_set(spark, sf_dir):
+    """Set-mode P/R (scorer.py:79-111 'set' match: distinct tuples, no
+    multiplicity) — the third reference match mode as a contract query next
+    to kg_score_prf (multiset) and kg_score_boundary (type-insensitive)."""
+    corpus = load_corpus(spark, sf_dir)
+    pred = triples_frame(corpus).select(*TRIPLE_COLS).distinct()
+    gold = spark.sql(gold_triples_sql()).select(*TRIPLE_COLS).distinct()
+    return _prf_1row(gold, pred, TRIPLE_COLS, "set")
+
+
+_SCORE_SET_ORACLE = """
+WITH corpus AS ({corpus}),
+pred AS (SELECT DISTINCT repo, path, subj, subj_type, pred, obj, obj_type FROM ({pred}) pr),
+gold AS (SELECT DISTINCT repo, path, subj, subj_type, pred, obj, obj_type FROM ({gold}) gl),
+g AS (SELECT *, CAST(1 AS BIGINT) AS gold_n FROM gold),
+p AS (SELECT *, CAST(1 AS BIGINT) AS pred_n FROM pred),
+j AS (SELECT coalesce(gold_n, 0) AS gold_n, coalesce(pred_n, 0) AS pred_n
+      FROM g FULL OUTER JOIN p
+      USING (repo, path, subj, subj_type, pred, obj, obj_type))
+SELECT CAST(sum(least(gold_n, pred_n)) AS BIGINT) AS set_tp,
+       CAST(sum(gold_n) AS BIGINT) AS set_gold,
+       CAST(sum(pred_n) AS BIGINT) AS set_pred,
+       round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / sum(pred_n), 6) AS set_precision,
+       round(CAST(sum(least(gold_n, pred_n)) AS DOUBLE) / sum(gold_n), 6) AS set_recall
+FROM j
+"""
+
+
 BOUNDARY_COLS = ["repo", "path", "subj", "pred", "obj"]
 
 
@@ -891,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_udf": _q_triples_udf,
         "kg_gold_triples": _q_gold_triples,
         "kg_score_prf": _q_score_prf,
+        "kg_score_set": _q_score_set,
         "kg_events": _q_events,
         "kg_score_events": _q_score_events,
         "kg_canonical": _q_canonical,
@@ -957,6 +985,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_udf": _with_corpus(triples_duck_sql()),
         "kg_gold_triples": gold_triples_sql(),
         "kg_score_prf": _SCORE_PRF_ORACLE.format(
+            corpus=corpus_sql(), pred=triples_duck_sql(), gold=gold_triples_sql()
+        ).strip(),
+        "kg_score_set": _SCORE_SET_ORACLE.format(
             corpus=corpus_sql(), pred=triples_duck_sql(), gold=gold_triples_sql()
         ).strip(),
         "kg_events": gold_events_sql(),
