@@ -93,6 +93,8 @@ from deepkg_spark.operators.curation import (
     decontaminate_duck_sql,
     pack_sequences,
     pack_sequences_duck_sql,
+    profile_table,
+    profile_table_duck_sql,
     repetition_stats,
     repetition_stats_duck_sql,
     sample_stratified,
@@ -693,6 +695,21 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=128, shard_size=50)
 
 
+_PROFILE_NUM = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+_PROFILE_TS = ("l_shipdate",)
+
+
+def _q_profile_lineitem(spark, sf_dir):
+    """Per-column data-quality profile of the largest fixture table
+    (null/distinct counts + min/max; exact two-phase distinct, skew-safe)."""
+    return profile_table(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        num_cols=_PROFILE_NUM, str_cols=_PROFILE_STR, ts_cols=_PROFILE_TS,
+    )
+
+
 def _q_unigram_lm(spark, sf_dir):
     """Unigram-LM quality score (CCNet-shape LM filter, top-V vocab + OOV floor)."""
     return unigram_logprob(_docs(spark, sf_dir), top_v=20)
@@ -950,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_stratified": _q_sample_stratified,
         "text_pack_sequences": _q_pack_sequences,
         "text_unigram_lm": _q_unigram_lm,
+        "profile_lineitem": _q_profile_lineitem,
         "sts_spearman": _q_sts_spearman,
         "kg_score_boundary": _q_score_boundary,
         "ph_ngram_stats": _q_ngram_stats,
@@ -1067,6 +1085,10 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
             "documents", budget=128, shard_size=50
         ),
         "text_unigram_lm": unigram_logprob_duck_sql("documents", top_v=20),
+        "profile_lineitem": profile_table_duck_sql(
+            "lineitem", num_cols=_PROFILE_NUM, str_cols=_PROFILE_STR,
+            ts_cols=_PROFILE_TS,
+        ),
         "sts_spearman": sts_spearman_duck_sql(f"({_sts_pairs_sql('duck')})"),
         "kg_score_boundary": _SCORE_BOUNDARY_ORACLE.format(
             corpus=corpus_sql(), pred=triples_duck_sql(), gold=gold_triples_sql()

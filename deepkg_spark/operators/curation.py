@@ -374,3 +374,118 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(lp), {ROUND}) AS mean_log2p
 FROM scored GROUP BY doc_id
 """.strip()
+
+
+# ------------------------------------------------------- table profiling
+
+def profile_table(
+    df,
+    num_cols: tuple[str, ...] = (),
+    str_cols: tuple[str, ...] = (),
+    ts_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(col_name, kind, n_rows, n_null, n_distinct, min_num, max_num,
+    min_str, max_str): per-column data-quality profile — the validation
+    stats a training pipeline computes before ingesting a new table drop.
+
+    One scan melts every numeric column into (column, val double) structs
+    (timestamps become epoch seconds), a second melts the string columns;
+    distinct/null counts come from the two-phase (column, val) -> (column)
+    aggregation, so the exact distinct count is skew-safe (the wide first
+    key level is partial-aggregable; no count(DISTINCT) expand). At 100 TB
+    swap n_distinct to approx_count_distinct if exactness is not required —
+    here it stays exact so the DuckDB oracle can match bit-for-bit.
+    Numeric min/max round to 6; kind in ('num', 'str').
+    """
+    outs = []
+    num_exprs = [f"struct('{c}' AS col_name, CAST({c} AS DOUBLE) AS val)" for c in num_cols]
+    # timestamps -> fractional epoch seconds: NTZ won't cast to DOUBLE
+    # directly, so go via TIMESTAMP (session tz pinned UTC in session.py,
+    # matching the DuckDB twin's naive epoch())
+    num_exprs += [
+        f"struct('{c}' AS col_name, CAST(CAST({c} AS TIMESTAMP) AS DOUBLE) AS val)"
+        for c in ts_cols
+    ]
+    if num_exprs:
+        melted = df.selectExpr(f"explode(array({', '.join(num_exprs)})) AS m").select(
+            F.col("m.col_name").alias("col_name"), F.col("m.val").alias("val")
+        )
+        cnt = melted.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
+        outs.append(
+            cnt.groupBy("col_name").agg(
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("n_null"),
+                F.count(F.when(F.col("val").isNotNull(), 1)).cast("bigint").alias("n_distinct"),
+                F.round(F.min("val"), ROUND).alias("min_num"),
+                F.round(F.max("val"), ROUND).alias("max_num"),
+            ).select(
+                "col_name", F.lit("num").alias("kind"), "n_rows", "n_null",
+                "n_distinct", "min_num", "max_num",
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    if str_cols:
+        str_exprs = [f"struct('{c}' AS col_name, CAST({c} AS STRING) AS val)" for c in str_cols]
+        melted = df.selectExpr(f"explode(array({', '.join(str_exprs)})) AS m").select(
+            F.col("m.col_name").alias("col_name"), F.col("m.val").alias("val")
+        )
+        cnt = melted.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
+        outs.append(
+            cnt.groupBy("col_name").agg(
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("n_null"),
+                F.count(F.when(F.col("val").isNotNull(), 1)).cast("bigint").alias("n_distinct"),
+                F.min("val").alias("min_str"),
+                F.max("val").alias("max_str"),
+            ).select(
+                "col_name", F.lit("str").alias("kind"), "n_rows", "n_null",
+                "n_distinct",
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                "min_str", "max_str",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def profile_table_duck_sql(
+    rel: str,
+    num_cols: tuple[str, ...] = (),
+    str_cols: tuple[str, ...] = (),
+    ts_cols: tuple[str, ...] = (),
+) -> str:
+    num_sel = [f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS val FROM {rel}" for c in num_cols]
+    num_sel += [f"SELECT '{c}' AS col_name, epoch({c})::DOUBLE AS val FROM {rel}" for c in ts_cols]
+    str_sel = [f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM {rel}" for c in str_cols]
+    parts = []
+    if num_sel:
+        parts.append(f"""
+SELECT col_name, 'num' AS kind,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+       round(min(val), {ROUND}) AS min_num, round(max(val), {ROUND}) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM (SELECT col_name, val, count(*) AS c
+      FROM ({' UNION ALL '.join(num_sel)}) GROUP BY col_name, val)
+GROUP BY col_name""".strip())
+    if str_sel:
+        parts.append(f"""
+SELECT col_name, 'str' AS kind,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       min(val) AS min_str, max(val) AS max_str
+FROM (SELECT col_name, val, count(*) AS c
+      FROM ({' UNION ALL '.join(str_sel)}) GROUP BY col_name, val)
+GROUP BY col_name""".strip())
+    return "\nUNION ALL\n".join(parts)

@@ -8,6 +8,8 @@ from deepkg_spark.operators.curation import (
     decontaminate_duck_sql,
     pack_sequences,
     pack_sequences_duck_sql,
+    profile_table,
+    profile_table_duck_sql,
     repetition_stats,
     repetition_stats_duck_sql,
     sample_stratified,
@@ -126,6 +128,35 @@ def test_unigram_logprob(spark, sf_dir):
     # logprobs are negative; OOV never exceeds token count
     for r in df.collect():
         assert r["mean_log2p"] < 0 and 0 <= r["oov_tokens"] <= r["n_tokens"]
+
+
+def test_profile_table(spark, sf_dir):
+    con = duck_connect(sf_dir)
+    num = ("l_orderkey", "l_quantity", "l_discount")
+    st = ("l_returnflag",)
+    ts = ("l_shipdate",)
+    df = profile_table(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        num_cols=num, str_cols=st, ts_cols=ts,
+    )
+    compare_spark_duck(df, con, profile_table_duck_sql("lineitem", num, st, ts))
+    rows = {r["col_name"]: r for r in df.collect()}
+    assert rows["l_returnflag"]["kind"] == "str" and rows["l_returnflag"]["min_str"]
+    assert rows["l_shipdate"]["kind"] == "num" and rows["l_shipdate"]["min_num"] > 0
+    # null accounting: n_null + distinct-able values never exceed n_rows
+    for r in rows.values():
+        assert r["n_null"] + r["n_distinct"] <= r["n_rows"]
+
+
+def test_profile_table_nulls(spark):
+    docs = spark.createDataFrame(
+        [(1, None, "a"), (2, 2.5, None), (3, 2.5, "b")],
+        "id bigint, x double, s string",
+    )
+    rows = {r["col_name"]: r for r in profile_table(docs, ("id", "x"), ("s",)).collect()}
+    assert rows["x"]["n_null"] == 1 and rows["x"]["n_distinct"] == 1
+    assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
 
 
 def test_sts_spearman(spark, sf_dir):
