@@ -42,6 +42,14 @@ def spark_h31(col: str) -> str:
     return f"({spark_h32(col)} & {MASK31})"
 
 
+def spark_h60(col: str) -> str:
+    """60-bit md5-prefix hash (15 hex chars). Use where 32 bits would admit
+    birthday collisions at corpus scale (e.g. decontamination over billions
+    of n-grams: expected collisions ~ n_train*n_eval / 2^60, which at
+    1e10 x 1e7 grams is ~0.09 — vs ~2e4 *per eval gram* under h32)."""
+    return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def spark_perm(h_expr: str, a: int, b: int) -> str:
     return f"(({a}L * {h_expr} + {b}L) % {MERSENNE31}L)"
 
@@ -54,6 +62,11 @@ def duck_h32(col: str) -> str:
 
 def duck_h31(col: str) -> str:
     return f"({duck_h32(col)} & {MASK31})"
+
+
+def duck_h60(col: str) -> str:
+    """DuckDB twin of spark_h60 (identical 60-bit value)."""
+    return f"(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
 
 
 def duck_perm(h_expr: str, a: int, b: int) -> str:

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from deepkg_spark.functions.hashing import duck_h31, duck_h32, spark_h31, spark_h32
+from deepkg_spark.functions.hashing import duck_h31, duck_h60, spark_h31, spark_h60
 from deepkg_spark.functions.text import duck_ngrams, duck_tokens, spark_ngrams, spark_tokens
 
 ROUND = 6
@@ -147,6 +147,11 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 5) -> DataFra
     |eval docs| x tokens, 8 bytes each) and is explicitly broadcast — the
     train side never shuffles; per-doc distinct + the hit count are one
     partial-aggregable groupBy keyed by doc_id.
+
+    Grams are compared via 60-bit md5-prefix hashes: at 1e10 train x 1e7
+    eval distinct grams the expected number of birthday false positives is
+    n_train * n_eval / 2^60 ~ 0.09 (a 32-bit hash would flag ~2e4 clean
+    docs per eval gram at that scale).
     """
     def grams(df: DataFrame) -> DataFrame:
         return (
@@ -154,7 +159,7 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 5) -> DataFra
                 "doc_id",
                 F.explode(F.expr(spark_ngrams(spark_tokens("text"), n))).alias("g"),
             )
-            .select("doc_id", F.expr(spark_h32("g")).alias("h"))
+            .select("doc_id", F.expr(spark_h60("g")).alias("h"))
             .distinct()
         )
 
@@ -184,7 +189,7 @@ def decontaminate_duck_sql(train_rel: str, eval_rel: str, n: int = 5) -> str:
 
     def grams(rel: str) -> str:
         return (
-            f"SELECT DISTINCT doc_id, {duck_h32('g')} AS h FROM ("
+            f"SELECT DISTINCT doc_id, {duck_h60('g')} AS h FROM ("
             f"SELECT doc_id, unnest({duck_ngrams(toks, n)}) AS g FROM {rel})"
         )
 
@@ -206,6 +211,11 @@ LEFT JOIN hits h USING (doc_id)
 
 # --------------------------------------------------- stratified sampling
 
+def _sql_quote(s: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal (both
+    engines double embedded quotes); free-text strata may contain quotes."""
+    return str(s).replace("'", "''")
+
 def sample_stratified(
     docs_with_stratum: DataFrame,
     rates_permille: dict[str, int],
@@ -220,9 +230,10 @@ def sample_stratified(
     """
     key = f"concat({stratum_col}, ':', CAST({key_col} AS STRING))"
     cases = " ".join(
-        f"WHEN '{s}' THEN {r}" for s, r in sorted(rates_permille.items())
+        f"WHEN '{_sql_quote(s)}' THEN {int(r)}"
+        for s, r in sorted(rates_permille.items())
     )
-    rate = f"CASE {stratum_col} {cases} ELSE {default_permille} END"
+    rate = f"CASE {stratum_col} {cases} ELSE {int(default_permille)} END"
     return docs_with_stratum.filter(
         F.expr(f"pmod({spark_h31(key)}, 1000) < {rate}")
     )
@@ -237,9 +248,10 @@ def sample_stratified_duck_sql(
 ) -> str:
     key = f"({stratum_col} || ':' || CAST({key_col} AS VARCHAR))"
     cases = " ".join(
-        f"WHEN '{s}' THEN {r}" for s, r in sorted(rates_permille.items())
+        f"WHEN '{_sql_quote(s)}' THEN {int(r)}"
+        for s, r in sorted(rates_permille.items())
     )
-    rate = f"CASE {stratum_col} {cases} ELSE {default_permille} END"
+    rate = f"CASE {stratum_col} {cases} ELSE {int(default_permille)} END"
     return f"""
 SELECT * FROM {rel}
 WHERE ({duck_h31(key)}) % 1000 < ({rate})
@@ -263,8 +275,10 @@ def pack_sequences(
     embarrassingly parallel. First doc of a shard opens bin 0 even when it
     alone exceeds the budget (oversized docs get a bin of their own).
     """
+    # `div` = exact integral division (no double roundtrip: exact above 2^53,
+    # and truncation matches DuckDB's integer `//` for negative ids too)
     base = docs.select(
-        (F.col("doc_id") / shard_size).cast("bigint").alias("shard"),
+        F.expr(f"doc_id div {shard_size}").alias("shard"),
         "doc_id",
         F.expr(f"size({spark_tokens('text')})").cast("bigint").alias("n_tokens"),
     )
@@ -295,9 +309,9 @@ def pack_sequences_duck_sql(
     toks = duck_tokens("text")
     return f"""
 WITH RECURSIVE base AS (
-  SELECT CAST(floor(doc_id / {shard_size}) AS BIGINT) AS shard, doc_id,
+  SELECT (doc_id // {shard_size}) AS shard, doc_id,
          CAST(len({toks}) AS BIGINT) AS n_tokens,
-         row_number() OVER (PARTITION BY CAST(floor(doc_id / {shard_size}) AS BIGINT)
+         row_number() OVER (PARTITION BY (doc_id // {shard_size})
                             ORDER BY doc_id) AS rn
   FROM {docs_rel}
 ),
@@ -397,6 +411,8 @@ def profile_table(
     here it stays exact so the DuckDB oracle can match bit-for-bit.
     Numeric min/max round to 6; kind in ('num', 'str').
     """
+    if not (num_cols or str_cols or ts_cols):
+        raise ValueError("at least one of num_cols/str_cols/ts_cols required")
     outs = []
     num_exprs = [f"struct('{c}' AS col_name, CAST({c} AS DOUBLE) AS val)" for c in num_cols]
     # timestamps -> fractional epoch seconds: NTZ won't cast to DOUBLE
@@ -462,6 +478,8 @@ def profile_table_duck_sql(
     str_cols: tuple[str, ...] = (),
     ts_cols: tuple[str, ...] = (),
 ) -> str:
+    if not (num_cols or str_cols or ts_cols):
+        raise ValueError("at least one of num_cols/str_cols/ts_cols required")
     num_sel = [f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS val FROM {rel}" for c in num_cols]
     num_sel += [f"SELECT '{c}' AS col_name, epoch({c})::DOUBLE AS val FROM {rel}" for c in ts_cols]
     str_sel = [f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM {rel}" for c in str_cols]

@@ -138,7 +138,10 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
 
 # ---------------------------------------------------------------- STS eval
 
-def sts_spearman(pairs: DataFrame) -> DataFrame:
+STS_MAX_PAIRS = 1_000_000
+
+
+def sts_spearman(pairs: DataFrame, max_pairs: int = STS_MAX_PAIRS) -> DataFrame:
     """1-row (n_pairs, spearman): Spearman rank correlation between the
     engine's cosine similarity of embedding pairs and a gold score — the
     SimCSE STS evaluation metric (SimCSE-Chinese-Pytorch/simcse_unsup.py
@@ -149,11 +152,24 @@ def sts_spearman(pairs: DataFrame) -> DataFrame:
     oracle (classic average-rank Spearman differs only under ties, and the
     tie-break is pinned); Spearman = Pearson corr of the two rank columns,
     one 4-counter aggregate. Everything is JVM-side: zip_with dot product,
-    two window ranks, F.corr. The unpartitioned rank window funnels the
-    pair set through one task — correct for this operator's domain (STS
-    eval sets are thousands of rows, cosine computation stays distributed);
-    for corpus-scale rank correlations use an approximate quantile-bucket
-    rank instead."""
+    two window ranks, F.corr.
+
+    Zero-norm (degenerate) embeddings are FILTERED identically in both
+    engines: Spark's non-ANSI 0/0 yields NULL (sorts first) while DuckDB's
+    IEEE float division yields NaN (sorts last), so leaving them in would
+    silently skew the ranks differently per engine.
+
+    The unpartitioned rank window funnels the pair set through one task —
+    correct only at eval-set scale, so inputs beyond `max_pairs` raise
+    rather than silently produce a single-task corpus-scale sort (use a
+    quantile-bucket approximate rank for that regime).
+    """
+    n = pairs.limit(max_pairs + 1).count()
+    if n > max_pairs:
+        raise ValueError(
+            f"sts_spearman is an eval-set operator (single-task rank window); "
+            f"got > {max_pairs} pairs — use quantile-bucket ranks at corpus scale"
+        )
     cos = pairs.select(
         "pair_id",
         "gold",
@@ -173,7 +189,7 @@ def sts_spearman(pairs: DataFrame) -> DataFrame:
                 "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
             )
         ).alias("nb"),
-    ).select(
+    ).filter((F.col("na") * F.col("nb")) > 0).select(
         "pair_id",
         "gold",
         (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
@@ -198,6 +214,8 @@ WITH cos AS (
          (sqrt(list_dot_product(avec::DOUBLE[], avec::DOUBLE[])) *
           sqrt(list_dot_product(bvec::DOUBLE[], bvec::DOUBLE[]))) AS cos
   FROM {pairs_rel}
+  WHERE (sqrt(list_dot_product(avec::DOUBLE[], avec::DOUBLE[])) *
+         sqrt(list_dot_product(bvec::DOUBLE[], bvec::DOUBLE[]))) > 0
 ),
 ranked AS (
   SELECT CAST(row_number() OVER (ORDER BY cos ASC, pair_id ASC) AS DOUBLE) AS rc,

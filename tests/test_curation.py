@@ -223,6 +223,95 @@ def test_sample_stratified_nested(spark, sf_dir):
     assert small < big
 
 
+def test_sts_spearman_zero_norm_filtered(spark):
+    """ADVICE fix: zero-norm embeddings are dropped identically in both
+    engines (Spark would NULL the cos, DuckDB would NaN it — and they sort
+    on opposite ends)."""
+    import duckdb
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0], 0.9),
+        (2, [0.0, 0.0], [1.0, 0.0], 0.5),  # zero-norm avec -> dropped
+        (3, [1.0, 0.0], [0.0, 1.0], 0.1),
+        (4, [0.5, 0.5], [0.5, 0.4], 0.7),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pair_id int, avec array<double>, bvec array<double>, gold double"
+    )
+    df = sts_spearman(pairs)
+    assert df.collect()[0]["n_pairs"] == 3
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pairs (pair_id INT, avec DOUBLE[], bvec DOUBLE[], gold DOUBLE)"
+    )
+    for r in rows:
+        con.execute("INSERT INTO pairs VALUES (?, ?, ?, ?)", list(r))
+    compare_spark_duck(df, con, sts_spearman_duck_sql("pairs"))
+
+
+def test_sts_spearman_size_guard(spark, sf_dir):
+    """The corpus-scale guard fires instead of funneling a huge sort
+    through one task."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, [1.0, 0.0], [1.0, 0.0], 0.5) for i in range(20)],
+        "pair_id int, avec array<double>, bvec array<double>, gold double",
+    )
+    with pytest.raises(ValueError, match="eval-set operator"):
+        sts_spearman(pairs, max_pairs=10)
+
+
+def test_sample_stratified_quoted_stratum(spark):
+    """ADVICE fix: stratum values containing single quotes survive the CASE
+    interpolation in both engines."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "o'brien"), (2, "o'brien"), (3, "plain"), (4, "o'brien"), (5, "plain")]
+        + [(i, "o'brien") for i in range(6, 40)],
+        "doc_id int, stratum string",
+    )
+    rates = {"o'brien": 1000}
+    df = sample_stratified(docs, rates, default_permille=0)
+    got = sorted(r["doc_id"] for r in df.collect())
+    # rate 1000 keeps every o'brien row, default 0 drops the rest
+    assert got == sorted(
+        r["doc_id"] for r in docs.filter(F.col("stratum") == "o'brien").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id INT, stratum VARCHAR)")
+    for r in docs.collect():
+        con.execute("INSERT INTO docs VALUES (?, ?)", [r["doc_id"], r["stratum"]])
+    compare_spark_duck(df, con, sample_stratified_duck_sql("docs", rates, 0))
+
+
+def test_profile_table_empty_cols_raises(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="at least one"):
+        profile_table(docs)
+    with pytest.raises(ValueError, match="at least one"):
+        profile_table_duck_sql("docs")
+
+
+def test_pack_sequences_negative_ids(spark):
+    """ADVICE fix: shard assignment is exact integral division on both
+    sides — negative doc_ids truncate identically (Spark `div` == DuckDB
+    `//`)."""
+    import duckdb
+
+    rows = [(i, "x " * abs(i % 7)) for i in range(-25, 25)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df = pack_sequences(docs, budget=10, shard_size=10)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO docs VALUES (?, ?)", list(r))
+    compare_spark_duck(df, con, pack_sequences_duck_sql("docs", budget=10, shard_size=10))
+
+
 def test_sts_spearman_perfect_and_inverse(spark):
     # gold == cos ranking -> 1.0; reversed gold -> -1.0
     pairs = spark.createDataFrame(
