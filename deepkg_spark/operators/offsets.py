@@ -52,6 +52,138 @@ def closest_offset(
     return best
 
 
+def closest_pairs_frame(docs):
+    """Contract surface for the 'closest' strategy (sel2record.py:470-519):
+    per document, anchor = the FIRST bigram of the whitespace token list,
+    argument = the LAST bigram; among all (anchor, argument) occurrence
+    pairs pick the one minimizing |anchor_start - arg_start| (ties ->
+    earliest anchor, then earliest arg). Docs with < 2 tokens are skipped.
+
+    Arrow mapInPandas over (doc_id, text) -> (doc_id, a_start, a_end,
+    b_start, b_end), closed intervals, 0-based token positions. The heavy
+    repetition in the fixture corpus makes 'closest' genuinely diverge from
+    'first' (the last bigram usually also occurs early in the doc).
+    One narrow stage — no shuffle; the per-doc occurrence scan is O(n*m).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "a_start", "a_end", "b_start", "b_end")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t]
+                if len(toks) < 2:
+                    continue
+                pair = closest_offset(toks, toks[:2], toks[-2:])
+                if pair is None:
+                    continue
+                (a_s, a_e), (b_s, b_e) = pair
+                out["doc_id"].append(doc_id)
+                out["a_start"].append(a_s)
+                out["a_end"].append(a_e)
+                out["b_start"].append(b_s)
+                out["b_end"].append(b_e)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id bigint, a_start int, a_end int, b_start int, b_end int"
+    )
+
+
+def closest_pairs_duck_sql(docs_rel: str) -> str:
+    """DuckDB oracle: enumerate bigram occurrences positionally, then the
+    arithmetic min over (|gap|, a_start, b_start) — row_number as min_by
+    with the full deterministic tie-break."""
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {docs_rel}
+), ok AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+), pos AS (
+  SELECT doc_id, toks, CAST(unnest(range(len(toks) - 1)) AS INT) AS p FROM ok
+), occ_a AS (
+  SELECT doc_id, p FROM pos
+  WHERE toks[p + 1] = toks[1] AND toks[p + 2] = toks[2]
+), occ_b AS (
+  SELECT doc_id, p FROM pos
+  WHERE toks[p + 1] = toks[len(toks) - 1] AND toks[p + 2] = toks[len(toks)]
+), pairs AS (
+  SELECT a.doc_id, a.p AS ap, b.p AS bp,
+         row_number() OVER (PARTITION BY a.doc_id
+                            ORDER BY abs(a.p - b.p), a.p, b.p) AS rn
+  FROM occ_a a JOIN occ_b b USING (doc_id)
+)
+SELECT doc_id, ap AS a_start, ap + 1 AS a_end, bp AS b_start, bp + 1 AS b_end
+FROM pairs WHERE rn = 1
+""".strip()
+
+
+def longer_first_frame(docs):
+    """Contract surface for the 'longer_first' strategy (sel2record.py:
+    367-402): per document the span list is [last bigram, first unigram];
+    sorted by token length descending the bigram assigns first (earliest
+    occurrence — no prior overlap), then the unigram takes its earliest
+    occurrence NOT overlapping the bigram's slot, or is dropped. Emits
+    (doc_id, span_idx, start, end) closed intervals; span_idx 0 = bigram,
+    1 = unigram. Because token 0 IS the first unigram, the overlap dodge
+    fires exactly when the last bigram's earliest occurrence covers an
+    early duplicate — a real greedy-collision exercise, SQL-expressible.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "span_idx", "start", "end")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t]
+                if len(toks) < 2:
+                    continue
+                spans = [toks[-2:], [toks[0]]]
+                for idx, (s, e) in sorted(longer_first_assign(toks, spans).items()):
+                    out["doc_id"].append(doc_id)
+                    out["span_idx"].append(idx)
+                    out["start"].append(s)
+                    out["end"].append(e)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id bigint, span_idx int, start int, end int"
+    )
+
+
+def longer_first_duck_sql(docs_rel: str) -> str:
+    """DuckDB oracle for the two-span greedy: bigram slot = min occurrence,
+    unigram slot = min occurrence position strictly outside the bigram's
+    closed interval (dropped when none exists)."""
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {docs_rel}
+), ok AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+), pos AS (
+  SELECT doc_id, toks, CAST(unnest(range(len(toks))) AS INT) AS p FROM ok
+), big AS (
+  SELECT doc_id, CAST(min(p) AS INT) AS s FROM pos
+  WHERE p < len(toks) - 1
+    AND toks[p + 1] = toks[len(toks) - 1] AND toks[p + 2] = toks[len(toks)]
+  GROUP BY doc_id
+), uni AS (
+  SELECT pos.doc_id, CAST(min(p) AS INT) AS s FROM pos JOIN big USING (doc_id)
+  WHERE toks[p + 1] = toks[1] AND (p < big.s OR p > big.s + 1)
+  GROUP BY pos.doc_id
+)
+SELECT doc_id, 0 AS span_idx, s AS start, s + 1 AS "end" FROM big
+UNION ALL
+SELECT doc_id, 1, s, s FROM uni
+""".strip()
+
+
 def longer_first_assign(
     tokens: list[str], spans: list[list[str]]
 ) -> dict[int, tuple[int, int]]:

@@ -340,6 +340,77 @@ WHERE p.freq >= {min_freq}
 """.strip()
 
 
+def _fit_boosted_stumps(
+    X: np.ndarray, y: np.ndarray, n_estimators: int = 25, lr: float = 0.3
+):
+    """Deterministic gradient-boosted depth-1 trees with logistic loss —
+    the reference classifier's inductive bias (sklearn
+    GradientBoostingClassifier, autophrasex/autophrase.py:53-56) without
+    sklearn: axis-aligned threshold splits, boosted on deviance residuals,
+    Newton leaf values (Friedman's gradient boosting, public algorithm).
+
+    Determinism: no randomness anywhere; split search scans every unique
+    feature value in (feature asc, threshold asc) order and strict '<' on
+    the SSE improvement keeps the FIRST best split on ties — identical
+    models for identical (row-ordered) inputs, any cluster size.
+
+    Returns predict_margin(X) -> raw log-odds.
+    """
+    def sigmoid(z: np.ndarray) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-np.clip(z, -500, 500)))
+
+    n = len(y)
+    p0 = min(max(y.mean(), 1e-6), 1 - 1e-6)
+    f0 = np.log(p0 / (1 - p0))
+    margin = np.full(n, f0)
+    stumps: list[tuple[int, float, float, float]] = []
+    order = [np.argsort(X[:, j], kind="stable") for j in range(X.shape[1])]
+    for _ in range(n_estimators):
+        p = sigmoid(margin)
+        r = y - p  # negative gradient of deviance
+        h = p * (1 - p)  # hessian for Newton leaf values
+        best = None  # (sse, j, thr)
+        for j in range(X.shape[1]):
+            xs = X[order[j], j]
+            rs = r[order[j]]
+            csum = np.cumsum(rs)
+            csq = np.cumsum(rs * rs)
+            total, total_sq = csum[-1], csq[-1]
+            # split after position i (0-based): left = [0..i]; candidate only
+            # where the feature value strictly increases (vectorized scan;
+            # np.argmin keeps the FIRST minimum -> deterministic)
+            cut = np.nonzero(xs[1:] > xs[:-1])[0]
+            if cut.size == 0:
+                continue
+            nl = cut + 1.0
+            nr = n - nl
+            sl = csum[cut]
+            sse = (
+                (csq[cut] - sl * sl / nl)
+                + ((total_sq - csq[cut]) - (total - sl) * (total - sl) / nr)
+            )
+            k = int(np.argmin(sse))
+            if best is None or sse[k] < best[0]:
+                best = (float(sse[k]), j, (xs[cut[k]] + xs[cut[k] + 1]) / 2.0)
+        if best is None:  # all features constant
+            break
+        _, j, thr = best
+        left = X[:, j] <= thr
+        # Newton step per leaf: sum(residual) / sum(hessian)
+        gl = r[left].sum() / max(h[left].sum(), 1e-12)
+        gr = r[~left].sum() / max(h[~left].sum(), 1e-12)
+        margin = margin + lr * np.where(left, gl, gr)
+        stumps.append((j, thr, lr * gl, lr * gr))
+
+    def predict_margin(Xq: np.ndarray) -> np.ndarray:
+        out = np.full(len(Xq), f0)
+        for j, thr, gl, gr in stumps:
+            out = out + np.where(Xq[:, j] <= thr, gl, gr)
+        return out
+
+    return predict_margin
+
+
 def phrase_quality_scores(
     docs: DataFrame,
     quality_phrases: set[str],
@@ -351,6 +422,7 @@ def phrase_quality_scores(
     lr: float = 0.5,
     topk: int = 10_000,
     stats: DataFrame | None = None,
+    classifier: str = "stumps",
 ) -> pd.DataFrame:
     """AutoPhrase-style distant-supervision loop (autophrase.py:63-148,
     168-228 semantics, re-implemented):
@@ -364,8 +436,11 @@ def phrase_quality_scores(
     The feature table is distributed aggregation output; the candidate set is
     small (reference: topk phrases), so the training loop runs driver-side —
     same topology as the reference's in-process GBDT over collected stats.
-    sklearn is not shipped here; the classifier is a deterministic numpy
-    logistic regression (zero init, full-batch GD, standardized features).
+    sklearn is not shipped here; ``classifier`` picks the deterministic
+    numpy stand-in: "stumps" (default) = gradient-boosted depth-1 trees
+    with logistic loss — the reference GBDT's inductive bias
+    (_fit_boosted_stumps); "logistic" = full-batch GD logistic regression
+    (the round-1/2 scorer, kept for comparison).
 
     Returns a pandas DataFrame (ngram, prob, is_quality, round_promoted),
     sorted by (-prob, ngram) — prediction ranking (autophrase.py:143-144).
@@ -389,20 +464,24 @@ def phrase_quality_scores(
     pos = feats["ngram"].isin(quality_phrases).to_numpy()
     promoted_round = np.where(pos, 0, -1)
 
-    def fit(y: np.ndarray) -> np.ndarray:
+    if classifier not in ("stumps", "logistic"):
+        raise ValueError(f"unknown classifier {classifier!r}")
+
+    def fit_predict(y: np.ndarray) -> np.ndarray:
+        if classifier == "stumps":
+            return _fit_boosted_stumps(X, y)(X)
         w = np.zeros(X.shape[1])
         for _ in range(epochs):
             z = 1.0 / (1.0 + np.exp(-X @ w))
             w -= lr * (X.T @ (z - y)) / len(y)
-        return w
+        return X @ w
 
     prob = np.zeros(len(X))
     for rnd in range(1, max_rounds + 1):
         y = pos.astype(np.float64)
         if y.sum() == 0 or y.sum() == len(y):
             break
-        w = fit(y)
-        prob = 1.0 / (1.0 + np.exp(-X @ w))
+        prob = 1.0 / (1.0 + np.exp(-np.clip(fit_predict(y), -500, 500)))
         promote = (~pos) & (prob > threshold)
         if not promote.any():
             break

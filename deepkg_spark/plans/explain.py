@@ -247,6 +247,49 @@ def main() -> None:
         required=["FlatMapGroupsInPandas"],
         forbidden=["SortMergeJoin", "CartesianProduct"],
     )
+    # offset strategies: one narrow Arrow stage each — scan -> mapInPandas,
+    # zero exchanges
+    from deepkg_spark.operators.mentions import head_spans_udf
+    from deepkg_spark.operators.offsets import (
+        closest_pairs_frame,
+        longer_first_frame,
+    )
+
+    audit(
+        "closest_pairs_frame (narrow Arrow stage, no shuffle)",
+        closest_pairs_frame(docs),
+        required=["MapInPandas"],
+        forbidden=["Exchange"],
+    )
+    audit(
+        "longer_first_frame (narrow Arrow stage, no shuffle)",
+        longer_first_frame(docs),
+        required=["MapInPandas"],
+        forbidden=["Exchange"],
+    )
+    audit(
+        "head_spans_udf (narrow Arrow stage, no shuffle)",
+        head_spans_udf(corpus, head="biaffine"),
+        required=["MapInPandas"],
+        forbidden=["Exchange"],
+    )
+    # ES repeat-boost rescore: candidate list re-ranked via broadcast-joined
+    # dims + windows — never a cartesian or sort-merge join
+    from deepkg_spark.operators.linking import rescore_length_norm
+
+    audit(
+        "rescore repeat-boost (broadcast dims, window re-rank)",
+        rescore_length_norm(
+            bm25_topn(
+                docs.selectExpr("doc_id AS qid", "text AS qtext").limit(20),
+                part, topn=5,
+            ),
+            docs.selectExpr("doc_id AS qid", "text AS qtext").limit(20),
+            part, topn=5, repeat_score=2.0,
+        ),
+        required=["BroadcastHashJoin", "Window"],
+        forbidden=["CartesianProduct", "SortMergeJoin"],
+    )
 
     with open("PLANS.md", "w") as f:
         f.write(

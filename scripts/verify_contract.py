@@ -49,6 +49,10 @@ def main() -> int:
             sdf = q(spark, SF)
             s = [tuple(r) for r in sdf.collect()]
             if sql is None:
+                if name in probe_set:
+                    probe_cache[name] = canon_rows(
+                        [c.lower() for c in sdf.columns], s
+                    )
                 print(f"{name}: rows-only, {len(s)} rows, {time.time()-t0:.1f}s")
                 assert len(s) > 0, f"{name}: rows-only query returned 0 rows"
                 continue

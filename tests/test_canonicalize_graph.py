@@ -119,3 +119,35 @@ def test_connected_components_chain_and_singletons(spark):
     assert all(got[v] == 0 for v in range(10))
     assert all(got[v] == 20 for v in (20, 21, 22))
     assert got[30] == 30 and got[31] == 31
+
+
+def test_star_contraction_equals_hashmin(spark):
+    """Star contraction labels == hash-min labels on a mixed graph
+    (two components + singletons)."""
+    from deepkg_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(v,) for v in range(12)], "v long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 10)], "a long, b long"
+    )
+    hm = {r["v"]: r["component"]
+          for r in connected_components(verts, edges).collect()}
+    st = {r["v"]: r["component"]
+          for r in connected_components(verts, edges, algorithm="star").collect()}
+    assert hm == st
+    assert st[3] == 1 and st[7] == 5 and st[0] == 0 and st[10] == 9
+
+
+def test_star_contraction_chain_logarithmic_rounds(spark):
+    """A chain of 1000 vertices (diameter 999 — hash-min would need ~999
+    rounds) converges in O(log n) star rounds with the right single
+    component."""
+    from deepkg_spark.operators.graph import connected_components_star
+
+    n = 1000
+    verts = spark.range(n).selectExpr("id AS v")
+    edges = spark.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
+    comp, rounds = connected_components_star(verts, edges)
+    assert rounds <= 20  # ~2*log2(1000), not ~1000
+    rows = comp.collect()
+    assert len(rows) == n and all(r["component"] == 0 for r in rows)

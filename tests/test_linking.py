@@ -146,3 +146,51 @@ def test_bm25_shuffle_fallback_matches_broadcast_path(spark, monkeypatch):
     got_df = lk.bm25_topn(qdf, ddf, topn=3)
     got = sorted(tuple(r) for r in got_df.collect())
     assert got == expected
+
+
+def test_rescore_repeat_boost(spark, sf_dir):
+    """ES repeat-boost (ES_Model.py:94-99): with duplicate dictionary names
+    the boosted rescore doubles the normalized score of repeated candidates
+    and matches the DuckDB oracle; repeat_score=1 stays bit-identical to the
+    plain length-norm rescore."""
+    from pyspark.sql import functions as F
+
+    from deepkg_spark.operators.linking import (
+        bm25_duck_sql,
+        bm25_topn,
+        rescore_length_norm,
+        rescore_length_norm_duck_sql,
+    )
+    from tests.compare import compare_spark_duck, duck_connect
+
+    q = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+        .filter(F.col("qid") < 30)
+    )
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
+    dup_sql = (
+        "SELECT p_partkey AS term_id, p_name AS name FROM part "
+        "UNION ALL SELECT p_partkey + 100000, p_name FROM part WHERE p_partkey <= 100"
+    )
+    d = spark.sql(dup_sql)
+    ranked = bm25_topn(q, d, topn=5)
+    boosted = rescore_length_norm(ranked, q, d, topn=5, repeat_score=2.0)
+    con = duck_connect(sf_dir)
+    q_rel = "(SELECT doc_id AS qid, text AS qtext FROM documents WHERE doc_id < 30)"
+    compare_spark_duck(
+        boosted,
+        con,
+        rescore_length_norm_duck_sql(
+            bm25_duck_sql(q_rel, f"({dup_sql})", topn=5),
+            q_rel, f"({dup_sql})", topn=5, repeat_score=2.0,
+        ),
+    )
+    plain = rescore_length_norm(ranked, q, d, topn=5, repeat_score=1.0)
+    b = {(r["qid"], r["term_id"]): r["norm_score"] for r in boosted.collect()}
+    p = {(r["qid"], r["term_id"]): r["norm_score"] for r in plain.collect()}
+    fired = [k for k in b.keys() & p.keys() if b[k] != p[k]]
+    assert fired, "boost never fired — planted duplicates missing from candidates"
+    doubled = [k for k in b.keys() & p.keys()
+               if abs(b[k] - 2 * p[k]) < 2e-6]
+    assert doubled, "boosted scores are not doubled normalized scores"

