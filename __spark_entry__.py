@@ -131,6 +131,8 @@ from deepkg_spark.operators.similarity import (
     rp_lsh_topk_duck_sql,
     sts_spearman,
     sts_spearman_duck_sql,
+    sts_spearman_ties,
+    sts_spearman_ties_duck_sql,
 )
 from deepkg_spark.operators.textstats import (
     wordpieces,
@@ -688,6 +690,20 @@ def _q_ner_unlabeled(spark, sf_dir):
     return head_spans_udf(load_corpus(spark, sf_dir), head="unlabeled")
 
 
+def _q_ner_rotary_gp(spark, sf_dir):
+    """The reference's actual RoPE GlobalPointer head (model/model.py:
+    148-180): per-class q/k, rotary encoding, q.k/sqrt(hs) logits.
+    Rows-only."""
+    return head_spans_udf(load_corpus(spark, sf_dir), head="rotary_gp")
+
+
+def _q_ner_efficient_gp(spark, sf_dir):
+    """Efficient GlobalPointer (published F1 row UIE_torch/Readme.md:12;
+    public v2 formulation — shared q/k span score + per-class rank-1 type
+    bias). Rows-only."""
+    return head_spans_udf(load_corpus(spark, sf_dir), head="efficient_gp")
+
+
 def _q_ann_recall(spark, sf_dir):
     """recall@5 of LSH ANN vs exact ranking (candidate_query_analysis shape)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -811,6 +827,16 @@ def _q_sts_spearman(spark, sf_dir):
         "embeddings"
     )
     return sts_spearman(spark.sql(_sts_pairs_sql("spark")))
+
+
+def _q_sts_spearman_ties(spark, sf_dir):
+    """Corpus-scale Spearman: classic tied-average ranks computed from
+    per-distinct-value cumulative counts — no per-row global window
+    anywhere in the plan (the scale path sts_spearman's guard points to)."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return sts_spearman_ties(spark.sql(_sts_pairs_sql("spark")))
 
 
 def _q_score_set(spark, sf_dir):
@@ -1058,7 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": _q_unigram_lm,
         "profile_lineitem": _q_profile_lineitem,
         "sts_spearman": _q_sts_spearman,
-        "ph_ngram_stats": _q_ngram_stats,
+        "sts_spearman_ties": _q_sts_spearman_ties,
         "ph_candidates": _q_candidates,
         "ph_features": _q_phrase_features,
         # ------------------- position 51+: past the driver's window ------
@@ -1067,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_distant_dp": _q_distant,
         "ner_biaffine": _q_ner_biaffine,
         "ner_unlabeled": _q_ner_unlabeled,
+        "ner_rotary_gp": _q_ner_rotary_gp,
+        "ner_efficient_gp": _q_ner_efficient_gp,
         # oracle-bearing twins / subsumed variants (green in r01/r02 rows)
         "kg_mentions_udf": _q_mentions_udf,
         "kg_triples_udf": _q_triples_udf,
@@ -1080,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "text_langid": _q_langid,
         "text_token_counts": _q_tokcounts,
+        "ph_ngram_stats": _q_ngram_stats,
         "ph_pmi": _q_pmi,
         "ph_idf": _q_idf,
         "ph_entropy": _q_entropy,
@@ -1182,6 +1211,9 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
             ts_cols=_PROFILE_TS,
         ),
         "sts_spearman": sts_spearman_duck_sql(f"({_sts_pairs_sql('duck')})"),
+        "sts_spearman_ties": sts_spearman_ties_duck_sql(
+            f"({_sts_pairs_sql('duck')})"
+        ),
         "kg_score_boundary": _SCORE_BOUNDARY_ORACLE.format(
             corpus=corpus_sql(), pred=triples_duck_sql(), gold=gold_triples_sql()
         ).strip(),

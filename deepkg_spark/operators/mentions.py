@@ -197,9 +197,124 @@ class UnlabeledEntityScorer:
         return sorted(out)
 
 
+def _rope(x: np.ndarray) -> np.ndarray:
+    """Rotary position encoding over the last axis (model.py:158-176: the
+    SinusoidalPositionEmbedding 'zero' mode + interleaved rotation). x is
+    [n, d] with d even; position = row index."""
+    n, d = x.shape
+    inv = np.power(10000.0, -2.0 * np.arange(d // 2) / d)
+    ang = np.arange(n)[:, None] * inv[None, :]
+    cos = np.repeat(np.cos(ang), 2, axis=1)
+    sin = np.repeat(np.sin(ang), 2, axis=1)
+    x2 = np.stack([-x[:, 1::2], x[:, 0::2]], axis=-1).reshape(x.shape)
+    return x * cos + x2 * sin
+
+
+class RotaryGlobalPointerScorer:
+    """The reference's ACTUAL GlobalPointer head (model.py:148-180): one
+    linear projecting to n_classes * head_size * 2, split into per-class
+    (q, k), RoPE applied to both, logits[c, i, j] = q_i . k_j / sqrt(hs),
+    lower triangle excluded. Deterministic pinned-seed weights."""
+
+    def __init__(self, n_classes: int = 3, dim: int = 16, head_size: int = 8,
+                 seed: int = 13):
+        self.feats = _HashFeatures(dim)
+        rng = np.random.RandomState(seed)
+        self.w = rng.standard_normal((dim, n_classes * head_size * 2)) / np.sqrt(dim)
+        self.n_classes = n_classes
+        self.head_size = head_size
+
+    def _qk(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        h = self.feats.encode(text) @ self.w  # [n, C*hs*2]
+        n = h.shape[0]
+        hs = self.head_size
+        per = h.reshape(n, self.n_classes, 2 * hs)
+        q = np.stack([_rope(per[:, c, :hs]) for c in range(self.n_classes)])
+        k = np.stack([_rope(per[:, c, hs:]) for c in range(self.n_classes)])
+        return q, k  # each [C, n, hs]
+
+    def score_cube(self, text: str, pad: int = 1) -> np.ndarray:
+        q, k = self._qk(text)
+        cube = np.einsum("cmd,cnd->cmn", q, k) / np.sqrt(self.head_size)
+        n = len(text)
+        out = np.full((self.n_classes, n + 2 * pad, n + 2 * pad), -np.inf)
+        out[:, pad : pad + n, pad : pad + n] = cube
+        return out
+
+    def score_spans(self, text: str, threshold: float) -> list[tuple[int, int, int, float]]:
+        """Sparse decode: per-class q @ k.T GEMM, no padded cube."""
+        q, k = self._qk(text)
+        out = []
+        for c in range(self.n_classes):
+            m = (q[c] @ k[c].T) / np.sqrt(self.head_size)
+            ii, jj = np.where(np.triu(m) > threshold)
+            out.extend(
+                (c, int(i), int(j), float(m[i, j])) for i, j in zip(ii, jj) if i <= j
+            )
+        return sorted(out)
+
+
+class EfficientGlobalPointerScorer:
+    """Efficient GlobalPointer (the published per-head F1 row,
+    UIE_torch/Readme.md:12; the reference ships no code for it, so this
+    follows the public formulation — GlobalPointer v2: ONE shared (q, k)
+    projection scores span shape, a light per-class linear scores span
+    type): logits[c, i, j] = q_i . k_j / sqrt(hs)
+                             + (p[c] . qk_i + r[c] . qk_j) / 2
+    with RoPE on q, k. O(d*hs + hs*C) parameters vs GlobalPointer's
+    O(d*hs*C). Deterministic pinned-seed weights."""
+
+    def __init__(self, n_classes: int = 3, dim: int = 16, head_size: int = 8,
+                 seed: int = 17):
+        self.feats = _HashFeatures(dim)
+        rng = np.random.RandomState(seed)
+        self.w = rng.standard_normal((dim, head_size * 2)) / np.sqrt(dim)
+        self.wc = rng.standard_normal((head_size * 2, n_classes)) / np.sqrt(head_size)
+        self.n_classes = n_classes
+        self.head_size = head_size
+
+    def _parts(self, text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        qk = self.feats.encode(text) @ self.w  # [n, 2*hs]
+        hs = self.head_size
+        q = _rope(qk[:, :hs])
+        k = _rope(qk[:, hs:])
+        bias = qk @ self.wc  # [n, C]
+        return q, k, bias
+
+    def score_cube(self, text: str, pad: int = 1) -> np.ndarray:
+        q, k, bias = self._parts(text)
+        base = (q @ k.T) / np.sqrt(self.head_size)  # [n, n]
+        cube = base[None, :, :] + (bias.T[:, :, None] + bias.T[:, None, :]) / 2.0
+        n = len(text)
+        out = np.full((self.n_classes, n + 2 * pad, n + 2 * pad), -np.inf)
+        out[:, pad : pad + n, pad : pad + n] = cube
+        return out
+
+    def score_spans(self, text: str, threshold: float) -> list[tuple[int, int, int, float]]:
+        """Sparse decode: ONE shared GEMM + per-class rank-1 bias add."""
+        q, k, bias = self._parts(text)
+        base = (q @ k.T) / np.sqrt(self.head_size)
+        out = []
+        for c in range(self.n_classes):
+            m = base + (bias[:, c][:, None] + bias[:, c][None, :]) / 2.0
+            ii, jj = np.where(np.triu(m) > threshold)
+            out.extend(
+                (c, int(i), int(j), float(m[i, j])) for i, j in zip(ii, jj) if i <= j
+            )
+        return sorted(out)
+
+
 # per-head decode thresholds for the contract queries: chosen so the pinned-
 # seed heads emit a modest, non-empty span set over the fixture grammar
-HEAD_THRESHOLDS = {"biaffine": 1.1, "unlabeled": 3.4}
+HEAD_THRESHOLDS = {"biaffine": 1.1, "unlabeled": 3.4, "rotary_gp": 3.4,
+                   "efficient_gp": 4.6}
+
+_HEAD_FACTORIES = {
+    "biaffine": lambda: BiaffineSpanScorer(),
+    "unlabeled": lambda: UnlabeledEntityScorer(),
+    "rotary_gp": lambda: RotaryGlobalPointerScorer(),
+    "efficient_gp": lambda: EfficientGlobalPointerScorer(),
+}
 
 
 def head_spans_udf(corpus: DataFrame, head: str = "biaffine") -> DataFrame:
@@ -212,9 +327,7 @@ def head_spans_udf(corpus: DataFrame, head: str = "biaffine") -> DataFrame:
     are bit-stable across cluster sizes. Non-SQL core -> rows-only check.
     """
     threshold = HEAD_THRESHOLDS[head]
-
-    def make_scorer():
-        return BiaffineSpanScorer() if head == "biaffine" else UnlabeledEntityScorer()
+    make_scorer = _HEAD_FACTORIES[head]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = make_scorer()

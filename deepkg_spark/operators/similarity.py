@@ -161,39 +161,16 @@ def sts_spearman(pairs: DataFrame, max_pairs: int = STS_MAX_PAIRS) -> DataFrame:
 
     The unpartitioned rank window funnels the pair set through one task —
     correct only at eval-set scale, so inputs beyond `max_pairs` raise
-    rather than silently produce a single-task corpus-scale sort (use a
-    quantile-bucket approximate rank for that regime).
+    rather than silently produce a single-task corpus-scale sort; use
+    sts_spearman_ties (distributed tied-average ranks) for that regime.
     """
     n = pairs.limit(max_pairs + 1).count()
     if n > max_pairs:
         raise ValueError(
             f"sts_spearman is an eval-set operator (single-task rank window); "
-            f"got > {max_pairs} pairs — use quantile-bucket ranks at corpus scale"
+            f"got > {max_pairs} pairs — use sts_spearman_ties at corpus scale"
         )
-    cos = pairs.select(
-        "pair_id",
-        "gold",
-        F.expr(
-            "aggregate(zip_with(avec, bvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-        ).alias("dot"),
-        F.sqrt(
-            F.expr(
-                "aggregate(transform(avec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            )
-        ).alias("na"),
-        F.sqrt(
-            F.expr(
-                "aggregate(transform(bvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            )
-        ).alias("nb"),
-    ).filter((F.col("na") * F.col("nb")) > 0).select(
-        "pair_id",
-        "gold",
-        (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
-    )
+    cos = _cos_pairs(pairs)
     wc = Window.orderBy(F.asc("cos"), F.asc("pair_id"))
     wg = Window.orderBy(F.asc("gold"), F.asc("pair_id"))
     ranked = cos.select(
@@ -225,6 +202,98 @@ ranked AS (
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        round(corr(rc, rg), {ROUND}) AS spearman
 FROM ranked
+""".strip()
+
+
+def _cos_pairs(pairs: DataFrame) -> DataFrame:
+    """(pair_id, gold, cos) with the zero-norm guard — shared by both
+    Spearman variants."""
+    return pairs.select(
+        "pair_id",
+        "gold",
+        F.expr(
+            "aggregate(zip_with(avec, bvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("dot"),
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(avec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+        ).alias("na"),
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(bvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+        ).alias("nb"),
+    ).filter((F.col("na") * F.col("nb")) > 0).select(
+        "pair_id",
+        "gold",
+        (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
+    )
+
+
+def _avg_rank(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Classic tied-average rank per DISTINCT value: rank(v) = (# rows with
+    smaller value) + (ties + 1)/2. The cumulative window runs over DISTINCT
+    values only — at corpus scale that is orders of magnitude smaller than
+    the row count (and bounded by rounding), so no row-level single-task
+    sort exists anywhere in the plan. Join back on the value."""
+    cnt = df.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy(F.asc(col)).rowsBetween(Window.unboundedPreceding, -1)
+    ranks = cnt.select(
+        col,
+        (
+            F.coalesce(F.sum("_c").over(w), F.lit(0)) + (F.col("_c") + 1) / 2.0
+        ).alias(out),
+    )
+    return df.join(ranks, col)
+
+
+def sts_spearman_ties(pairs: DataFrame) -> DataFrame:
+    """1-row (n_pairs, spearman): the CLASSIC tied-average-rank Spearman
+    (scipy.stats.spearmanr semantics) as a fully distributed plan — the
+    corpus-scale path promised by sts_spearman's docstring.
+
+    Ranks come from per-distinct-value cumulative counts (see _avg_rank):
+    two small aggs + two joins + one corr — no per-row global window, so
+    the operator scales to any pair count. Under no ties it equals
+    sts_spearman exactly; under ties it is the canonical estimator."""
+    cos = _cos_pairs(pairs)
+    ranked = _avg_rank(_avg_rank(cos, "cos", "rc"), "gold", "rg")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("rc", "rg"), ROUND).alias("spearman"),
+    )
+
+
+def sts_spearman_ties_duck_sql(pairs_rel: str) -> str:
+    return f"""
+WITH cos AS (
+  SELECT pair_id, gold,
+         list_dot_product(avec::DOUBLE[], bvec::DOUBLE[]) /
+         (sqrt(list_dot_product(avec::DOUBLE[], avec::DOUBLE[])) *
+          sqrt(list_dot_product(bvec::DOUBLE[], bvec::DOUBLE[]))) AS cos
+  FROM {pairs_rel}
+  WHERE (sqrt(list_dot_product(avec::DOUBLE[], avec::DOUBLE[])) *
+         sqrt(list_dot_product(bvec::DOUBLE[], bvec::DOUBLE[]))) > 0
+),
+rc AS (
+  SELECT cos, coalesce(sum(_c) OVER (ORDER BY cos ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (_c + 1) / 2.0 AS rc
+  FROM (SELECT cos, count(*) AS _c FROM cos GROUP BY cos)
+),
+rg AS (
+  SELECT gold, coalesce(sum(_c) OVER (ORDER BY gold ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (_c + 1) / 2.0 AS rg
+  FROM (SELECT gold, count(*) AS _c FROM cos GROUP BY gold)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(rc, rg), {ROUND}) AS spearman
+FROM cos JOIN rc USING (cos) JOIN rg USING (gold)
 """.strip()
 
 

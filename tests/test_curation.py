@@ -325,3 +325,63 @@ def test_sts_spearman_perfect_and_inverse(spark):
     assert sts_spearman(pairs).collect()[0]["spearman"] == 1.0
     inv = pairs.select("pair_id", "avec", "bvec", (1.0 - F.col("gold")).alias("gold"))
     assert sts_spearman(inv).collect()[0]["spearman"] == -1.0
+
+
+def test_sts_spearman_ties_distributed(spark, sf_dir):
+    """The corpus-scale Spearman (tied-average ranks from distinct-value
+    cumulative counts): matches the DuckDB twin, equals the windowed
+    variant when values are tie-free, and reproduces the classic tied
+    estimator computed by hand."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from deepkg_spark.operators.similarity import (
+        sts_spearman_ties,
+        sts_spearman_ties_duck_sql,
+    )
+
+    con = duck_connect(sf_dir)
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    pairs = spark.sql(entrymod._sts_pairs_sql("spark"))
+    df = sts_spearman_ties(pairs)
+    compare_spark_duck(
+        df, con, sts_spearman_ties_duck_sql(f"({entrymod._sts_pairs_sql('duck')})")
+    )
+    # tie-free fixture: ties estimator == windowed estimator
+    clean = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0], 0.9),
+            (2, [1.0, 0.0], [0.7, 0.7], 0.5),
+            (3, [1.0, 0.0], [0.0, 1.0], 0.1),
+            (4, [0.5, 0.5], [0.5, 0.4], 0.7),
+        ],
+        "pair_id int, avec array<double>, bvec array<double>, gold double",
+    )
+    a = sts_spearman(clean).collect()[0]["spearman"]
+    b = sts_spearman_ties(clean).collect()[0]["spearman"]
+    assert a == b
+    # tied fixture: equals the hand-computed average-rank Pearson
+    tied_rows = [
+        (1, [1.0, 0.0], [1.0, 0.0], 0.5),   # cos 1.0
+        (2, [0.0, 1.0], [0.0, 1.0], 0.5),   # cos 1.0 (tie), gold tie
+        (3, [1.0, 0.0], [0.0, 1.0], 0.1),   # cos 0.0
+        (4, [1.0, 0.0], [0.7, 0.7], 0.9),
+    ]
+    tied = spark.createDataFrame(
+        tied_rows, "pair_id int, avec array<double>, bvec array<double>, gold double"
+    )
+    got = sts_spearman_ties(tied).collect()[0]["spearman"]
+
+    def avg_ranks(v):
+        v = np.asarray(v)
+        out = np.empty(len(v))
+        for i, x in enumerate(v):
+            out[i] = (v < x).sum() + ((v == x).sum() + 1) / 2.0
+        return out
+
+    cos = [1.0, 1.0, 0.0, np.dot([1, 0], [0.7, 0.7])]
+    gold = [r[3] for r in tied_rows]
+    expect = np.corrcoef(avg_ranks(cos), avg_ranks(gold))[0, 1]
+    assert abs(got - round(expect, 6)) < 2e-6

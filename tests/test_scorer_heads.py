@@ -33,14 +33,21 @@ FULL = (
 
 
 def test_sparse_decode_equals_dense_per_head():
-    """The production sparse decode (per-class GEMM / linear decomposition)
-    emits exactly the spans of the dense cube + decode_global_pointer path,
-    at the contract thresholds, with matching scores."""
-    from deepkg_spark.operators.mentions import HEAD_THRESHOLDS
+    """The production sparse decode (per-class GEMM / linear decomposition /
+    rank-1 bias add) emits exactly the spans of the dense cube +
+    decode_global_pointer path, at the contract thresholds, with matching
+    scores — for all four neural-shaped heads."""
+    from deepkg_spark.operators.mentions import (
+        HEAD_THRESHOLDS,
+        EfficientGlobalPointerScorer,
+        RotaryGlobalPointerScorer,
+    )
 
     for scorer, thr in (
         (BiaffineSpanScorer(), HEAD_THRESHOLDS["biaffine"]),
         (UnlabeledEntityScorer(), HEAD_THRESHOLDS["unlabeled"]),
+        (RotaryGlobalPointerScorer(), HEAD_THRESHOLDS["rotary_gp"]),
+        (EfficientGlobalPointerScorer(), HEAD_THRESHOLDS["efficient_gp"]),
     ):
         cube = scorer.score_cube(FULL)
         dense = {(c, i - 1, j - 1) for c, i, j in decode_global_pointer(cube, thr)}
@@ -51,6 +58,22 @@ def test_sparse_decode_equals_dense_per_head():
             assert abs(cube[c, s + 1, e + 1] - v) < 1e-9
 
 
+def test_rope_relative_position_property():
+    """RoPE's defining property: for position-constant inputs the rotated
+    dot product q_i . k_j depends only on the offset j - i."""
+    from deepkg_spark.operators.mentions import _rope
+
+    rng = np.random.RandomState(3)
+    q0, k0 = rng.standard_normal(8), rng.standard_normal(8)
+    n = 20
+    s = _rope(np.tile(q0, (n, 1))) @ _rope(np.tile(k0, (n, 1))).T
+    for d in (1, 3, 7):
+        diag = [s[i, i + d] for i in range(n - d)]
+        assert np.allclose(diag, diag[0])
+    # and it is NOT position-independent overall (different offsets differ)
+    assert abs(s[0, 1] - s[0, 3]) > 1e-6
+
+
 def test_head_spans_udf_contract(spark, sf_dir):
     """ner_biaffine / ner_unlabeled contract rows: non-empty, deterministic
     across partitionings, schema stable."""
@@ -58,7 +81,7 @@ def test_head_spans_udf_contract(spark, sf_dir):
     from deepkg_spark.sources.corpus import load_corpus
 
     corpus = load_corpus(spark, sf_dir)
-    for head in ("biaffine", "unlabeled"):
+    for head in ("biaffine", "unlabeled", "rotary_gp", "efficient_gp"):
         df = head_spans_udf(corpus, head=head)
         rows = sorted(tuple(r) for r in df.collect())
         assert len(rows) > 0
