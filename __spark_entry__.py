@@ -26,6 +26,8 @@ from deepkg_spark.operators.graph import (
     edge_table_duck_sql,
     node_table,
     node_table_duck_sql,
+    pagerank,
+    pagerank_duck_sql,
 )
 from deepkg_spark.operators.linking import (
     bm25_duck_sql,
@@ -98,6 +100,8 @@ from deepkg_spark.operators.phrases import (
 from deepkg_spark.operators.curation import (
     decontaminate,
     decontaminate_duck_sql,
+    dsir_logratio,
+    dsir_logratio_duck_sql,
     pack_sequences,
     pack_sequences_duck_sql,
     profile_table,
@@ -665,6 +669,31 @@ def _q_link_rescored_boost(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the materialized KG edge table (the
+    graph-analytics query the engine's node/edge tables exist to serve).
+    Oracle = the identical power iteration unrolled as chained CTEs."""
+    e = edge_table(triples_frame(load_corpus(spark, sf_dir))).select(
+        F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+    )
+    v = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    return pagerank(v, e)
+
+
+def _q_dsir_logratio(spark, sf_dir):
+    """DSIR hashed-n-gram importance scores of the training split against
+    the eval split as the target distribution — the planted eval copies
+    provably score highest."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return dsir_logratio(spark.sql(_TRAIN_SQL), spark.sql(_EVAL_SQL), n=2)
+
+
 def _q_dedup_clusters_star(spark, sf_dir):
     """Duplicate clusters via large-star/small-star contraction — the
     O(log n)-rounds-at-any-diameter variant of dedup_clusters, same
@@ -1052,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_media_frames,
         "mm_resize": _q_media_resize,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "kg_pagerank": _q_pagerank,
+        "text_dsir_logratio": _q_dsir_logratio,
         # --- per-family keepers (r02-green; official rows stay fresh) ---
         "kg_corpus": _q_corpus,
         "kg_mentions": _q_mentions,
@@ -1076,12 +1107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "text_quality": _q_quality,
         "text_fingerprints": _q_fingerprints,
-        "text_wordpieces": _q_wordpieces,
         "text_repetition": _q_repetition,
         "text_decontaminate": _q_decontaminate,
         "text_sample_stratified": _q_sample_stratified,
         "text_pack_sequences": _q_pack_sequences,
-        "text_unigram_lm": _q_unigram_lm,
         "profile_lineitem": _q_profile_lineitem,
         "sts_spearman": _q_sts_spearman,
         "sts_spearman_ties": _q_sts_spearman_ties,
@@ -1108,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "text_langid": _q_langid,
         "text_token_counts": _q_tokcounts,
+        "text_wordpieces": _q_wordpieces,
+        "text_unigram_lm": _q_unigram_lm,
         "ph_ngram_stats": _q_ngram_stats,
         "ph_pmi": _q_pmi,
         "ph_idf": _q_idf,
@@ -1247,6 +1278,25 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
             + minhash_lsh_pairs_duck_sql("dup_docs", tau=0.5)
             + ") lp",
             prelude_ctes=f"dup_docs AS ({_DUP_SQL})",
+        ),
+        "kg_pagerank": pagerank_duck_sql(
+            "SELECT src AS v FROM eall UNION SELECT dst FROM eall",
+            "SELECT src, dst FROM eall",
+            prelude_ctes=(
+                f"corpus AS ({corpus_sql()}), "
+                f"eall AS (SELECT src_id AS src, dst_id AS dst FROM ("
+                + edge_table_duck_sql(f"({triples_duck_sql()})")
+                + ") et)"
+            ),
+        ),
+        "text_dsir_logratio": _merge_cte(
+            "train_docs",
+            _TRAIN_SQL,
+            _merge_cte(
+                "eval_docs",
+                _EVAL_SQL,
+                dsir_logratio_duck_sql("train_docs", "eval_docs", n=2),
+            ),
         ),
         "ev_windowed_counts": windowed_counts_duck_sql(),
         "ev_sessions": sessionize_duck_sql(),

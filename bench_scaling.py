@@ -109,6 +109,12 @@ def main() -> None:
             ".parquet({tmp!r}); s.stop()"
         ).format(repo=REPO, n=N_ROWS, tmp=tmp)
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600)
+        # let the generation burst drain before the first probe/repeat —
+        # otherwise the 1-min loadavg and the first host probe carry our own
+        # generation load and look like a neighbor storm
+        import time as _time
+
+        _time.sleep(45)
 
         # interleave job runs with host probes so every repeat carries its
         # own view of the (shared, time-varying) host's CPU delivery; record

@@ -390,6 +390,121 @@ FROM scored GROUP BY doc_id
 """.strip()
 
 
+# ------------------------------------------- DSIR importance scoring
+
+DSIR_BUCKETS = 4096
+
+
+def dsir_logratio(
+    train: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_grams, log_ratio): per training doc, the hashed-n-gram
+    importance score of Data Selection via Importance Resampling (DSIR,
+    Xie et al. 2023, public paper): features are n-grams hashed into
+    `n_buckets` buckets; bucket unigram models are estimated on the target
+    (desired-distribution) corpus and the training corpus with add-1
+    smoothing, and a doc's score is sum over its grams (with multiplicity)
+    of log p_target(bucket) - log p_train(bucket). Selection = keep the
+    highest-scoring docs (deterministically — e.g. a threshold or
+    sample_stratified on banded scores), so the engine stays rand-free.
+
+    Scale: both bucket models are exactly `n_buckets` rows (broadcast);
+    the train side is one narrow explode + per-doc aggregation — the same
+    shuffle-free shape as decontaminate. Scores round to 6.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(F.expr(spark_ngrams(spark_tokens("text"), n))).alias("g"),
+        ).select("doc_id", F.expr(f"pmod({spark_h31('g')}, {n_buckets})").alias("b"))
+
+    def bucket_logp(df: DataFrame, out: str) -> DataFrame:
+        cnt = df.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        tot = cnt.agg(F.sum("c").cast("double").alias("t"))
+        return (
+            cnt.crossJoin(F.broadcast(tot))
+            .select(
+                "b",
+                F.log((F.col("c") + 1.0) / (F.col("t") + n_buckets)).alias(out),
+                F.col("t").alias(f"_{out}_t"),
+            )
+        )
+
+    tg = grams(train)
+    # unseen buckets still carry smoothed mass: join against ALL buckets via
+    # left joins + coalesce to the floor log(1 / (t + B))
+    p_t = bucket_logp(grams(target), "lp_t")
+    p_s = bucket_logp(tg, "lp_s")
+    t_tot = p_t.agg(F.first(f"_lp_t_t").alias("tt"))
+    s_tot = p_s.agg(F.first(f"_lp_s_t").alias("st"))
+    scored = (
+        tg.join(F.broadcast(p_t.select("b", "lp_t")), "b", "left")
+        .join(F.broadcast(p_s.select("b", "lp_s")), "b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(s_tot))
+        .select(
+            "doc_id",
+            (
+                F.coalesce("lp_t", F.log(1.0 / (F.col("tt") + n_buckets)))
+                - F.coalesce("lp_s", F.log(1.0 / (F.col("st") + n_buckets)))
+            ).alias("r"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.round(F.sum("r"), ROUND).alias("log_ratio"),
+    )
+    return (
+        train.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_logratio_duck_sql(
+    train_rel: str, target_rel: str, n: int = 2, n_buckets: int = DSIR_BUCKETS
+) -> str:
+    toks = duck_tokens("text")
+
+    def grams(rel: str) -> str:
+        return (
+            f"SELECT doc_id, ({duck_h31('g')}) % {n_buckets} AS b FROM ("
+            f"SELECT doc_id, unnest({duck_ngrams(toks, n)}) AS g FROM {rel})"
+        )
+
+    return f"""
+WITH tg AS ({grams(train_rel)}),
+eg AS ({grams(target_rel)}),
+ct AS (SELECT b, count(*) AS c FROM eg GROUP BY b),
+cs AS (SELECT b, count(*) AS c FROM tg GROUP BY b),
+tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM ct),
+st AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cs),
+pt AS (SELECT b, ln((c + 1.0) / ((SELECT t FROM tt) + {n_buckets})) AS lp_t FROM ct),
+ps AS (SELECT b, ln((c + 1.0) / ((SELECT t FROM st) + {n_buckets})) AS lp_s FROM cs),
+scored AS (
+  SELECT tg.doc_id,
+         coalesce(pt.lp_t, ln(1.0 / ((SELECT t FROM tt) + {n_buckets})))
+         - coalesce(ps.lp_s, ln(1.0 / ((SELECT t FROM st) + {n_buckets}))) AS r
+  FROM tg LEFT JOIN pt USING (b) LEFT JOIN ps USING (b)
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         round(sum(r), {ROUND}) AS log_ratio
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.log_ratio, 0.0) AS log_ratio
+FROM (SELECT doc_id FROM {train_rel}) t LEFT JOIN per_doc p USING (doc_id)
+""".strip()
+
+
 # ------------------------------------------------------- table profiling
 
 def profile_table(

@@ -263,6 +263,124 @@ def connected_components_star(
     return comp, rounds
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 10
+PR_ROUND = 9
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    n_iter: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(v, rank): fixed-iteration PageRank over the KG edge table — the
+    canonical "which entities matter" query a downstream consumer runs on
+    the materialized graph (the reference stops at JSON files; this engine
+    owns the graph, so it owns the graph analytics too).
+
+    Deterministic by construction: fixed `n_iter` power iterations from the
+    uniform vector, damping `damping`, dangling mass redistributed
+    uniformly, rank rounded to {PR_ROUND} at the END only. Per iteration:
+    one equi-join (edges x ranks), one partial-aggregable groupBy(dst), a
+    1-row dangling aggregate cross-joined into the update (no driver
+    collect inside the loop), localCheckpoint lineage truncation — the
+    same iterative shape as connected_components, all shuffles on vertex
+    id. 10 iterations = 10 bounded jobs at any scale.
+
+    vertices(v), edges(src, dst) — multi-edges contribute multiply, like
+    repeated triples would.
+    """
+    verts = vertices.select("v").distinct()
+    n = verts.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = verts.select("v", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        ranks = _pagerank_round(
+            verts, edges, deg, ranks, n, damping
+        ).localCheckpoint()
+    return ranks.select("v", F.round("rank", PR_ROUND).alias("rank"))
+
+
+def _pagerank_round(
+    verts: DataFrame,
+    edges: DataFrame,
+    deg: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping: float,
+) -> DataFrame:
+    """One power iteration (separate so its physical plan can be audited
+    before localCheckpoint truncates it)."""
+    dang = (
+        ranks.join(deg, ranks["v"] == deg["src"], "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+    )
+    contrib = (
+        edges.join(ranks, edges["src"] == ranks["v"])
+        .join(deg, "src")
+        .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("csum"))
+    )
+    return (
+        verts.join(contrib, verts["v"] == contrib["dst"], "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "v",
+            (
+                F.lit((1.0 - damping) / n)
+                + damping * (F.coalesce("csum", F.lit(0.0)) + F.col("dm") / n)
+            ).alias("rank"),
+        )
+    )
+
+
+def pagerank_duck_sql(
+    verts_sql: str,
+    edges_sql: str,
+    n_iter: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB oracle: the same power iteration unrolled as `n_iter` chained
+    CTEs (recursive CTEs cannot aggregate over the recursive reference, so
+    the fixed iteration count is spelled out — which also documents the
+    computation exactly)."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    # r{i} is referenced by d{i}, c{i} and r{i+1} — inlining would
+    # re-evaluate the whole prefix per reference (3^n_iter blowup)
+    pre = f"{prelude_ctes}," if prelude_ctes else ""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e AS MATERIALIZED ({edges_sql})",
+        "n1 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM n1) AS rank FROM verts)",
+    ]
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev} "
+            f"WHERE v NOT IN (SELECT src FROM deg))"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS v, sum(p.rank / deg.out_deg) AS csum "
+            f"FROM e JOIN {prev} p ON p.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"{cur} AS MATERIALIZED (SELECT verts.v, "
+            f"(1.0 - {damping}) / (SELECT n FROM n1) + {damping} * "
+            f"(coalesce(c{i}.csum, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM n1)) AS rank "
+            f"FROM verts LEFT JOIN c{i} ON c{i}.v = verts.v)"
+        )
+    return (
+        f"WITH {pre}\n" + ",\n".join(ctes)
+        + f"\nSELECT v, round(rank, {PR_ROUND}) AS rank FROM r{n_iter}"
+    )
+
+
 def connected_components_duck_sql(
     verts_sql: str, pairs_sql: str, prelude_ctes: str = ""
 ) -> str:

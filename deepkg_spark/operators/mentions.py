@@ -319,9 +319,10 @@ _HEAD_FACTORIES = {
 
 def head_spans_udf(corpus: DataFrame, head: str = "biaffine") -> DataFrame:
     """Decoded spans of a neural-shaped scorer head over the corpus — the
-    contract surface for the Biaffine / UnlabeledEntity heads (reference
-    publishes per-head F1, ExtractionEntities/README.md:178-181; heads at
-    model/model.py:89-147 and :193-235). Deterministic pinned-seed weights,
+    contract surface for the Biaffine / UnlabeledEntity / RoPE
+    GlobalPointer / Efficient-GP heads (reference publishes per-head F1,
+    ExtractionEntities/README.md:178-181, UIE_torch/Readme.md:10-12; heads
+    at model/model.py:89-147, :148-180, :193-235). Deterministic pinned-seed weights,
     sparse decode, Arrow batches; one narrow stage (scan -> mapInPandas),
     no shuffle — the mention-UDF scale shape. Scores rounded to 6 so rows
     are bit-stable across cluster sizes. Non-SQL core -> rows-only check.

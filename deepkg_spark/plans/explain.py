@@ -277,6 +277,39 @@ def main() -> None:
     # dims + windows — never a cartesian or sort-merge join
     from deepkg_spark.operators.linking import rescore_length_norm
 
+    # DSIR: bucket models broadcast (B rows), train side narrow; the only
+    # 1-row cross joins are broadcast scalars
+    from deepkg_spark.operators.curation import dsir_logratio
+
+    # (the gram->bucket-model joins must broadcast; the final zero-gram-doc
+    # re-attach joins corpus-sized sides on doc_id, where a shuffle join IS
+    # the correct 100 TB plan — only cartesians are forbidden)
+    audit(
+        "dsir_logratio (broadcast bucket models, narrow train side)",
+        dsir_logratio(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            n=2,
+        ),
+        required=["BroadcastHashJoin"],
+        forbidden=["CartesianProduct"],
+    )
+    # PageRank round: contrib join + partial-aggregable groupBy(dst); the
+    # dangling scalar rides a 1-row broadcast, never a cartesian blowup
+    from deepkg_spark.operators.graph import _pagerank_round
+
+    _pr_edges = docs.selectExpr("doc_id AS src", "(doc_id * 7) % 50 AS dst")
+    _pr_verts = _pr_edges.selectExpr("src AS v").union(
+        _pr_edges.selectExpr("dst AS v")
+    ).distinct()
+    _pr_deg = _pr_edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    _pr_r0 = _pr_verts.select("v", F.lit(0.01).alias("rank"))
+    audit(
+        "pagerank single round (equi-join + hash agg, no cartesian)",
+        _pagerank_round(_pr_verts, _pr_edges, _pr_deg, _pr_r0, 100, 0.85),
+        required=["HashAggregate"],
+        forbidden=["CartesianProduct"],
+    )
     audit(
         "rescore repeat-boost (broadcast dims, window re-rank)",
         rescore_length_norm(

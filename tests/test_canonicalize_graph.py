@@ -151,3 +151,46 @@ def test_star_contraction_chain_logarithmic_rounds(spark):
     assert rounds <= 20  # ~2*log2(1000), not ~1000
     rows = comp.collect()
     assert len(rows) == n and all(r["component"] == 0 for r in rows)
+
+
+def test_pagerank_matches_duckdb_and_properties(spark, sf_dir):
+    """PageRank over the KG edge table: exact oracle parity (unrolled CTE
+    power iteration), ranks sum to ~1, and a hand-checkable hub ranks above
+    a leaf."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from deepkg_spark.operators.graph import pagerank
+    from tests.compare import compare_spark_duck, duck_connect
+
+    df = entrymod._q_pagerank(spark, sf_dir)
+    compare_spark_duck(df, duck_connect(sf_dir), entrymod.oracle_sql()["kg_pagerank"])
+    total = df.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-3
+    # star graph: center receives all mass -> highest rank
+    verts = spark.createDataFrame([(i,) for i in range(5)], "v long")
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    ranks = {r["v"]: r["rank"] for r in pagerank(verts, edges).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert all(abs(ranks[i] - ranks[1]) < 1e-12 for i in (2, 3, 4))
+
+
+def test_dsir_logratio_planted_copies_score_highest(spark, sf_dir):
+    """DSIR importance: verbatim copies of target (eval) docs in the train
+    split land at the TOP of the per-gram-normalized score ranking, and the
+    oracle matches exactly."""
+    import __spark_entry__ as entrymod
+    from tests.compare import compare_spark_duck, duck_connect
+
+    df = entrymod._q_dsir_logratio(spark, sf_dir)
+    compare_spark_duck(
+        df, duck_connect(sf_dir), entrymod.oracle_sql()["text_dsir_logratio"]
+    )
+    rows = [r for r in df.collect() if r["n_grams"] > 0]
+    # normalize by gram count (doc length confounds the raw sum)
+    scored = sorted(rows, key=lambda r: -r["log_ratio"] / r["n_grams"])
+    planted = {r["doc_id"] for r in rows if r["doc_id"] >= 500000}
+    assert planted
+    top = {r["doc_id"] for r in scored[: max(len(planted) * 3, 10)]}
+    # most planted copies sit inside the top tier
+    assert len(planted & top) >= len(planted) * 2 // 3
