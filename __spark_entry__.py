@@ -126,7 +126,11 @@ from deepkg_spark.operators.phrases import (
     phrase_features_duck_sql,
     phrase_quality_scores,
 )
-from deepkg_spark.operators.sel import sel_roundtrip_triples
+from deepkg_spark.operators.sel import (
+    sel_roundtrip_triples,
+    ssi_prefix,
+    ssi_prefix_duck_sql,
+)
 from deepkg_spark.operators.similarity import (
     ivf_topk,
     ivf_topk_duck_sql,
@@ -669,6 +673,18 @@ def _q_link_rescored_boost(spark, sf_dir):
     )
 
 
+_SSI_CANDS = ("table", "query", "spark", "row", "column", "stream", "filter",
+              "merge")
+
+
+def _q_ssi_prefix(spark, sf_dir):
+    """Train-shape SSI prefix construction (DynamicSSIGenerator,
+    data_collator_torch.py:94-243) with hash-pinned sampling — positives
+    from the doc's tokens, k=2 hash-chosen negatives, hash-ordered
+    prompts. Exact oracle."""
+    return ssi_prefix(_docs(spark, sf_dir), _SSI_CANDS, k_neg=2)
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the materialized KG edge table (the
     graph-analytics query the engine's node/edge tables exist to serve).
@@ -1083,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": _q_dedup_clusters_star,
         "kg_pagerank": _q_pagerank,
         "text_dsir_logratio": _q_dsir_logratio,
+        "kg_ssi_prefix": _q_ssi_prefix,
         # --- per-family keepers (r02-green; official rows stay fresh) ---
         "kg_corpus": _q_corpus,
         "kg_mentions": _q_mentions,
@@ -1105,7 +1122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_embedding_neardup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_recall": _q_ann_ivf_recall,
-        "text_quality": _q_quality,
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
         "text_decontaminate": _q_decontaminate,
@@ -1136,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "ann_ivf_topk": _q_ann_ivf,
         "text_langid": _q_langid,
+        "text_quality": _q_quality,
         "text_token_counts": _q_tokcounts,
         "text_wordpieces": _q_wordpieces,
         "text_unigram_lm": _q_unigram_lm,
@@ -1288,6 +1305,9 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
                 + edge_table_duck_sql(f"({triples_duck_sql()})")
                 + ") et)"
             ),
+        ),
+        "kg_ssi_prefix": ssi_prefix_duck_sql(
+            "(SELECT doc_id, text FROM documents)", _SSI_CANDS, k_neg=2
         ),
         "text_dsir_logratio": _merge_cte(
             "train_docs",

@@ -382,3 +382,115 @@ def sel_roundtrip_events(
         "trigger_text string, trigger_start int, role string, "
         "arg_text string, arg_start int",
     )
+
+
+# ---------------------------------------------------------- SSI prefixes
+
+SPOT_PROMPT = "<spot>"
+TEXT_START = "<extra_id_2>"
+
+
+def ssi_prefix(docs: DataFrame, candidates: tuple[str, ...], k_neg: int = 2) -> DataFrame:
+    """(doc_id, ssi): train-shape SSI prefix construction — the
+    DynamicSSIGenerator semantics (data_collator_torch.py:94-243: positive
+    spots + `k` sampled negative spots, spot-prompt tokens, text appended
+    after `<extra_id_2>`; prompt tokens constants.py:21-26) with every
+    random draw replaced by pinned hashing, so the TRAIN-time sampling
+    shape exists in the engine without breaking the determinism contract
+    (the reference itself pins eval to ordered prompts,
+    utils_torch.py:149-152):
+
+    - positives   = candidate types present in the doc's token list
+      (positive_rate = 1: all kept);
+    - negatives   = top `k_neg` absent candidates by h31(doc_id | type) —
+      the rand-free analogue of sample_negative;
+    - prompt order = ascending h31(doc_id | 'o' | type) — the rand-free
+      analogue of the train-time shuffle (eval-ordered prompts remain the
+      default everywhere else in the engine).
+
+    Entirely JVM-side (explode over a literal candidate array, one window
+    over the per-doc negatives, one groupBy) -> exact DuckDB oracle.
+    """
+    from deepkg_spark.functions.hashing import spark_h31
+    from deepkg_spark.functions.text import spark_tokens
+    from pyspark.sql import Window
+
+    cand_arr = ", ".join(f"'{c}'" for c in candidates)
+    toks = spark_tokens("text")
+    base = (
+        docs.select("doc_id", "text", F.explode(F.expr(f"array({cand_arr})")).alias("t"))
+        .withColumn("is_pos", F.expr(f"array_contains({toks}, t)"))
+        .withColumn(
+            "h", F.expr(spark_h31("concat(CAST(doc_id AS STRING), '|', t)"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("h"), F.asc("t"))
+    negs = (
+        base.filter(~F.col("is_pos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neg)
+        .select("doc_id", "t")
+    )
+    chosen = base.filter(F.col("is_pos")).select("doc_id", "t").unionByName(negs)
+    okey = spark_h31("concat(CAST(doc_id AS STRING), '|o|', t)")
+    keyed = chosen.select(
+        "doc_id",
+        F.expr(
+            f"concat(lpad(CAST(pmod({okey}, 1000000) AS STRING), 7, '0'), ':', t)"
+        ).alias("item"),
+    )
+    agg = keyed.groupBy("doc_id").agg(
+        F.expr(
+            f"concat_ws(' ', transform(sort_array(collect_list(item)), "
+            f"x -> concat('{SPOT_PROMPT} ', substring(x, 9))))"
+        ).alias("prefix")
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.concat(
+            F.coalesce("prefix", F.lit("")), F.lit(f" {TEXT_START} "), F.col("text")
+        ).alias("ssi"),
+    )
+
+
+def ssi_prefix_duck_sql(docs_rel: str, candidates: tuple[str, ...], k_neg: int = 2) -> str:
+    from deepkg_spark.functions.hashing import duck_h31
+    from deepkg_spark.functions.text import duck_tokens
+
+    cand_arr = ", ".join(f"'{c}'" for c in candidates)
+    toks = duck_tokens("d.text")
+    h = duck_h31("(CAST(d.doc_id AS VARCHAR) || '|' || c.t)")
+    okey = duck_h31("(CAST(doc_id AS VARCHAR) || '|o|' || t)")
+    return f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, c.t,
+         list_contains({toks}, c.t) AS is_pos,
+         {h} AS h
+  FROM {docs_rel} d CROSS JOIN (SELECT unnest([{cand_arr}]) AS t) c
+),
+negs AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h ASC, t ASC) AS rn
+    FROM base WHERE NOT is_pos
+  ) WHERE rn <= {k_neg}
+),
+chosen AS (
+  SELECT doc_id, t FROM base WHERE is_pos
+  UNION ALL SELECT doc_id, t FROM negs
+),
+keyed AS (
+  SELECT doc_id,
+         lpad(CAST(({okey}) % 1000000 AS VARCHAR), 7, '0') || ':' || t AS item
+  FROM chosen
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(list_sort(list(item)), x -> '{SPOT_PROMPT} ' || substr(x, 9)),
+           ' ') AS prefix
+  FROM keyed GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.prefix, '') || ' {TEXT_START} ' || d.text AS ssi
+FROM {docs_rel} d LEFT JOIN agg a USING (doc_id)
+""".strip()

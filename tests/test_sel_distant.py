@@ -255,3 +255,34 @@ def test_sel_parsers_never_raise_on_garbage():
         sel_to_events(sel, text, CODE_SCHEMA)
 
     inner()
+
+
+def test_ssi_prefix_contract_and_semantics(spark, sf_dir):
+    """Hash-pinned SSI prefix construction: oracle parity, every positive
+    candidate appears, exactly k negatives are inserted, and the prompt
+    order is the pinned hash order (stable across partitionings)."""
+    from deepkg_spark.operators.sel import SPOT_PROMPT, TEXT_START, ssi_prefix, ssi_prefix_duck_sql
+    from tests.compare import compare_spark_duck, duck_connect
+
+    cands = ("table", "query", "spark", "row", "column", "stream", "filter", "merge")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = ssi_prefix(docs, cands, k_neg=2)
+    compare_spark_duck(
+        df, duck_connect(sf_dir),
+        ssi_prefix_duck_sql("(SELECT doc_id, text FROM documents)", cands, k_neg=2),
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in df.collect():
+        prefix, _, text = r["ssi"].partition(f" {TEXT_START} ")
+        assert text == texts[r["doc_id"]]
+        spots = [s.strip() for s in prefix.split(SPOT_PROMPT) if s.strip()]
+        toks = set(texts[r["doc_id"]].split(" "))
+        pos = {c for c in cands if c in toks}
+        neg = [s for s in spots if s not in pos]
+        assert set(spots) >= pos            # every positive kept
+        assert len(neg) == min(2, len(set(cands) - pos))  # exactly k negatives
+    # partitioning invariance
+    again = ssi_prefix(docs.repartition(7), cands, k_neg=2)
+    assert sorted(r["ssi"] for r in df.collect()) == sorted(
+        r["ssi"] for r in again.collect()
+    )
