@@ -82,7 +82,7 @@ spark.stop()
 def _run_once(cores: int, input_dir: str) -> float:
     out = subprocess.run(
         [sys.executable, "-c", _CHILD.format(repo=REPO), str(cores), input_dir],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=2400,
     )
     for line in out.stdout.splitlines():
         if line.startswith("ELAPSED "):
@@ -116,15 +116,18 @@ def main() -> None:
 
         _time.sleep(45)
 
-        # interleave job runs with host probes so every repeat carries its
-        # own view of the (shared, time-varying) host's CPU delivery; record
-        # loadavg around each repeat so storm windows are visible (and can be
-        # discarded) in the evidence table
+        # probe the host ceiling IMMEDIATELY before each timed child (per
+        # level, not per repeat): on this shared box the delivered CPU can
+        # change minute-to-minute, so a per-repeat probe is already stale by
+        # the third level. Record loadavg around each repeat so storm
+        # windows are visible (and can be discarded) in the evidence table
         reps = []
         for _ in range(REPEATS):
             load0 = os.getloadavg()[0]
-            host = _host_probe()
-            job = {c: _run_once(c, tmp) for c in CORE_LEVELS}
+            host, job = {}, {}
+            for c in CORE_LEVELS:
+                host[c] = _host_probe((c,))[c]
+                job[c] = _run_once(c, tmp)
             reps.append((host, job, (load0, os.getloadavg()[0])))
 
         def eff(tput: dict[int, float], lo: int, hi: int) -> float:
