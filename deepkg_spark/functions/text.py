@@ -21,6 +21,15 @@ import unicodedata
 
 import pandas as pd
 
+# ---------------- SQL literal quoting ----------------
+
+def sql_quote(s: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal (both
+    engines double embedded quotes); free-text strata / candidate type names
+    may contain quotes."""
+    return str(s).replace("'", "''")
+
+
 # ---------------- tokenization ----------------
 
 def spark_tokens(col: str) -> str:

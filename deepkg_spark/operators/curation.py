@@ -211,10 +211,9 @@ LEFT JOIN hits h USING (doc_id)
 
 # --------------------------------------------------- stratified sampling
 
-def _sql_quote(s: str) -> str:
-    """Escape a string for embedding in a single-quoted SQL literal (both
-    engines double embedded quotes); free-text strata may contain quotes."""
-    return str(s).replace("'", "''")
+from deepkg_spark.functions.text import sql_quote as _sql_quote  # noqa: E402
+# (shared helper: free-text strata may contain quotes; same escaping is
+# applied to SSI candidate type names in operators/sel.py)
 
 def sample_stratified(
     docs_with_stratum: DataFrame,

@@ -265,7 +265,11 @@ def connected_components_star(
 
 PR_DAMPING = 0.85
 PR_ITERS = 10
-PR_ROUND = 9
+# 6 decimals like every other float operator: Spark and DuckDB sum in
+# different orders, and after 10 double power iterations a knife-edge value
+# can flip the 9th decimal — 6 keeps a safety margin over summation-order
+# error while still distinguishing ranks at contract scale
+PR_ROUND = 6
 
 
 def pagerank(

@@ -108,7 +108,15 @@ class _HashFeatures:
         self.dim = dim
 
     def encode(self, text: str) -> np.ndarray:
-        idx = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+        # ONE row per CODE POINT (table indexed by min(ord, 255)) so the
+        # feature matrix length equals len(text) for non-ASCII input too —
+        # score_cube slices and score_spans offsets are char-indexed.
+        # ASCII code points coincide with their UTF-8 bytes, so ASCII
+        # corpora (all contract fixtures) are bit-identical to the old
+        # byte-indexed encoding.
+        idx = np.fromiter(
+            (min(ord(ch), 255) for ch in text), dtype=np.int64, count=len(text)
+        )
         return self.table[idx]
 
 

@@ -412,10 +412,10 @@ def ssi_prefix(docs: DataFrame, candidates: tuple[str, ...], k_neg: int = 2) -> 
     over the per-doc negatives, one groupBy) -> exact DuckDB oracle.
     """
     from deepkg_spark.functions.hashing import spark_h31
-    from deepkg_spark.functions.text import spark_tokens
+    from deepkg_spark.functions.text import spark_tokens, sql_quote
     from pyspark.sql import Window
 
-    cand_arr = ", ".join(f"'{c}'" for c in candidates)
+    cand_arr = ", ".join(f"'{sql_quote(c)}'" for c in candidates)
     toks = spark_tokens("text")
     base = (
         docs.select("doc_id", "text", F.explode(F.expr(f"array({cand_arr})")).alias("t"))
@@ -455,9 +455,9 @@ def ssi_prefix(docs: DataFrame, candidates: tuple[str, ...], k_neg: int = 2) -> 
 
 def ssi_prefix_duck_sql(docs_rel: str, candidates: tuple[str, ...], k_neg: int = 2) -> str:
     from deepkg_spark.functions.hashing import duck_h31
-    from deepkg_spark.functions.text import duck_tokens
+    from deepkg_spark.functions.text import duck_tokens, sql_quote
 
-    cand_arr = ", ".join(f"'{c}'" for c in candidates)
+    cand_arr = ", ".join(f"'{sql_quote(c)}'" for c in candidates)
     toks = duck_tokens("d.text")
     h = duck_h31("(CAST(d.doc_id AS VARCHAR) || '|' || c.t)")
     okey = duck_h31("(CAST(doc_id AS VARCHAR) || '|o|' || t)")

@@ -87,6 +87,44 @@ FROM (SELECT id AS doc_id, substr(md5(CAST(id AS STRING)), 1, 16) AS text FROM _
     )
 
 
+def scaled_documents(
+    spark: SparkSession, n_rows: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic (doc_id, text) table of arbitrary size for the curate
+    scaling workload.
+
+    Pure function of doc_id (spark.range, narrow, no shuffle):
+    - 20 + seed % 30 md5-derived words per doc, so quality / repetition /
+      n-gram stages do real token work;
+    - docs with doc_id % 11 < 3 share a word seed with up to two neighbors
+      and differ only in a trailing per-doc word -> planted NEAR-duplicate
+      groups (~27% of rows) that exercise the LSH band join and the
+      connected-components collapse with realistic cluster sizes;
+    - a per-doc trailing word keeps shared-seed docs near-dups (Jaccard
+      ~0.95 > tau) instead of exact dups.
+    """
+    rng = spark.range(
+        n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    rng.createOrReplaceTempView("_doc_ids")
+    return spark.sql(
+        """
+SELECT doc_id,
+       concat(
+         array_join(
+           transform(sequence(0, 19 + CAST(seed % 30 AS INT)),
+                     i -> substr(md5(concat(CAST(seed AS STRING), '/', CAST(i AS STRING))), 1, 8)),
+           ' '),
+         ' tail', CAST(doc_id AS STRING)) AS text
+FROM (
+  SELECT id AS doc_id,
+         id - (CASE WHEN id % 11 < 3 THEN id % 11 ELSE 0 END) AS seed
+  FROM _doc_ids
+)
+""".strip()
+    )
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register all driver testdata tables plus the derived corpus as views."""
     for t in (

@@ -40,6 +40,15 @@ def main() -> int:
     failures = []
     probe_cache: dict[str, list] = {}
     probe_set = {q for q in args.probe.split(",") if q}
+    # a probe compares the local[2] result against the sweep's cached rows:
+    # force-include every probe query in the sweep so --only can never leave
+    # a probe without a baseline (which used to print a spurious DIVERGED)
+    if only:
+        only |= probe_set
+    unknown = probe_set - set(entrymod.queries())
+    if unknown:
+        print(f"unknown probe queries: {sorted(unknown)}")
+        return 2
     for name, q in entrymod.queries().items():
         if only and name not in only:
             continue
@@ -74,12 +83,19 @@ def main() -> int:
     if probe_set:
         spark2 = get_spark(master="local[2]", shuffle_partitions=2)
         for name in sorted(probe_set):
+            if name not in probe_cache:
+                # the sweep run errored for this query — never compare
+                # against a missing baseline (it would print DIVERGED for a
+                # harness problem, or mask a real divergence as misuse)
+                print(f"probe[local2] {name}: NO BASELINE (sweep errored)")
+                failures.append(f"probe-no-baseline:{name}")
+                continue
             q = entrymod.queries()[name]
             sdf = q(spark2, SF)
             sc = canon_rows(
                 [c.lower() for c in sdf.columns], [tuple(r) for r in sdf.collect()]
             )
-            ok = sc == probe_cache.get(name)
+            ok = sc == probe_cache[name]
             print(f"probe[local2] {name}: {'IDENTICAL' if ok else 'DIVERGED'}")
             if not ok:
                 failures.append(f"probe:{name}")

@@ -92,6 +92,38 @@ def test_head_spans_udf_contract(spark, sf_dir):
         assert df.columns == ["repo", "path", "cls", "start_idx", "end_idx", "score"]
 
 
+def test_heads_handle_non_ascii_text():
+    """Per-code-point encoding: non-ASCII text (multi-byte UTF-8) must not
+    raise a shape error, the cube must be sized by len(text), sparse ==
+    dense still holds, and ASCII text keeps the original byte-indexed
+    features (regression for the byte/char conflation in _HashFeatures)."""
+    from deepkg_spark.operators.mentions import (
+        EfficientGlobalPointerScorer,
+        RotaryGlobalPointerScorer,
+        _HashFeatures,
+    )
+
+    nat = 'Ícolo é Bengo：导入 modü7 naïve "quote"'
+    for scorer in (
+        BiaffineSpanScorer(),
+        UnlabeledEntityScorer(),
+        RotaryGlobalPointerScorer(),
+        EfficientGlobalPointerScorer(),
+    ):
+        cube = scorer.score_cube(nat)
+        assert cube.shape[1] == len(nat) + 2
+        dense = {(c, i - 1, j - 1) for c, i, j in decode_global_pointer(cube, 0.5)}
+        sparse = {(c, s, e) for c, s, e, _ in scorer.score_spans(nat, 0.5)}
+        assert sparse == dense
+    # ASCII backward-compat: one row per char, same vectors as utf-8 bytes
+    feats = _HashFeatures()
+    ascii_text = "import mod7"
+    enc = feats.encode(ascii_text)
+    assert enc.shape == (len(ascii_text), feats.dim)
+    byte_idx = np.frombuffer(ascii_text.encode(), dtype=np.uint8)
+    assert np.array_equal(enc, feats.table[byte_idx])
+
+
 def test_heads_share_decode_semantics():
     """decode_global_pointer applies boundary mask + upper triangle + the
     threshold uniformly across heads."""
