@@ -157,7 +157,9 @@ from deepkg_spark.operators.textstats import (
 from deepkg_spark.operators.relations import (
     TRIPLE_COLS,
     events_duck_sql,
+    gold_events_closest_sql,
     gold_events_sql,
+    gold_offsets_closest_sql,
     gold_offsets_sql,
     gold_triples_sql,
     triples_duck_sql,
@@ -958,6 +960,25 @@ def _q_triples_offsets(spark, sf_dir):
     return triples_udf(load_corpus(spark, sf_dir))
 
 
+def _q_triples_offsets_closest(spark, sf_dir):
+    """The production triple path under offset_strategy='closest'
+    (sel2record.py:470-519 record_to_offset_closest_role as a map_config
+    option): records whose subject never occurs in content (file-id
+    subjects of imports/defines) are dropped; surviving (subj, obj) pairs
+    take the occurrence pair minimizing (|gap|, subj_start, obj_start).
+    Oracle = arithmetic closest-pair gold."""
+    return triples_udf(load_corpus(spark, sf_dir), offset_strategy="closest")
+
+
+def _q_events_closest(spark, sf_dir):
+    """The production event path under offset_strategy='closest'
+    (sel2record.py:609-662): roles re-matched to the occurrence closest to
+    the trigger — the callee role lands ON the trigger position (distance
+    0) instead of its first occurrence at char 7, a real first-vs-closest
+    divergence on every row. Oracle = arithmetic closest gold."""
+    return sel_roundtrip_events(load_corpus(spark, sf_dir), offset_strategy="closest")
+
+
 def _q_phrase_quality(spark, sf_dir):
     """AutoPhrase distant-supervision loop (driver-side numpy classifier over
     distributed stats; training loop not SQL-expressible -> rows-only).
@@ -1072,75 +1093,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CHECK order and the driver verifies
-    the first 50 entries only. The window therefore holds (a) every query
-    that has never had an official CORRECTNESS row (round-2 registry tail +
-    this round's new oracle queries) and (b) the core per-family keepers;
-    redundant twins (udf/mode variants, subsumed stats) and the rows-only
-    queries sit past 50 — all of them remain oracle-bearing (or
-    deterministically tested) and are exercised by
-    scripts/verify_contract.py, which sweeps ALL entries."""
+    the first 50 entries only.
+
+    WINDOW ROTATION POLICY (mechanical, enforced by
+    tests/test_registry_window.py against registry_windows.json):
+    every round the 50-entry window holds, in priority order,
+      (a) oracle queries NEW this round (never officially verified),
+      (b) every query whose last official CORRECTNESS row is >= 2 rounds
+          old (the previous round's tail), including the rows-only queries,
+      (c) core per-family keepers filling the remainder.
+    Queries demoted past position 50 must all have a green official row
+    from the PREVIOUS round — so every query always has an official
+    CORRECTNESS row at most one round old. registry_windows.json records
+    each round's window; scripts/verify_contract.py still sweeps ALL
+    entries every run regardless of position."""
     return {
-        # --- never driver-verified before round 3: first in the window ---
-        "ner_tie_or_break": _q_tie_or_break,
-        "kg_triples_offsets": _q_triples_offsets,
-        "kg_offsets_closest": _q_offsets_closest,
-        "kg_offsets_longer_first": _q_offsets_longer_first,
-        "kg_link_pairs": _q_link_pairs,
-        "kg_link_gold_pairs": _q_link_gold_pairs,
-        "kg_link_gold_recall": _q_link_gold_recall,
-        "kg_link_rescored": _q_link_rescored,
-        "kg_link_rescored_boost": _q_link_rescored_boost,
-        "ev_windowed_counts": _q_ev_windows,
-        "ev_sessions": _q_ev_sessions,
-        "ann_recall": _q_ann_recall,
-        "mm_media_features": _q_media_features,
-        "mm_frame_sample": _q_media_frames,
-        "mm_resize": _q_media_resize,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "kg_pagerank": _q_pagerank,
-        "text_dsir_logratio": _q_dsir_logratio,
-        "kg_ssi_prefix": _q_ssi_prefix,
-        # --- per-family keepers (r02-green; official rows stay fresh) ---
-        "kg_corpus": _q_corpus,
-        "kg_mentions": _q_mentions,
-        "kg_triples": _q_triples,
-        "kg_score_prf": _q_score_prf,
-        "kg_events": _q_events,
-        "kg_score_events": _q_score_events,
-        "kg_canonical": _q_canonical,
-        "kg_nodes": _q_nodes,
-        "kg_edges": _q_edges,
-        "kg_link_exact": _q_link_exact,
-        "kg_link_bm25": _q_link_bm25,
-        "kg_link_dense": _q_link_dense,
-        "kg_sel_roundtrip": _q_sel_roundtrip,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash_pairs": _q_simhash_pairs,
-        "dedup_jaccard": _q_jaccard,
-        "dedup_embedding": _q_embedding_neardup,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_recall": _q_ann_ivf_recall,
-        "text_fingerprints": _q_fingerprints,
-        "text_repetition": _q_repetition,
-        "text_decontaminate": _q_decontaminate,
-        "text_sample_stratified": _q_sample_stratified,
-        "text_pack_sequences": _q_pack_sequences,
-        "profile_lineitem": _q_profile_lineitem,
-        "sts_spearman": _q_sts_spearman,
-        "sts_spearman_ties": _q_sts_spearman_ties,
-        "ph_candidates": _q_candidates,
-        "ph_features": _q_phrase_features,
-        # ------------------- position 51+: past the driver's window ------
-        # rows-only (non-SQL cores; pytest + verify_contract carry them)
-        "ph_quality_loop": _q_phrase_quality,
-        "ner_distant_dp": _q_distant,
-        "ner_biaffine": _q_ner_biaffine,
-        "ner_unlabeled": _q_ner_unlabeled,
-        "ner_rotary_gp": _q_ner_rotary_gp,
-        "ner_efficient_gp": _q_ner_efficient_gp,
-        # oracle-bearing twins / subsumed variants (green in r01/r02 rows)
+        # --- (a) new round-4 oracle queries ---
+        "kg_triples_offsets_closest": _q_triples_offsets_closest,
+        "kg_events_closest": _q_events_closest,
+        # --- (b) round-3 tail: last official row r01/r02 (oracle twins /
+        #     modes) or never recorded (rows-only) — fresh rows due ---
         "kg_mentions_udf": _q_mentions_udf,
         "kg_triples_udf": _q_triples_udf,
         "kg_gold_triples": _q_gold_triples,
@@ -1160,6 +1132,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ph_pmi": _q_pmi,
         "ph_idf": _q_idf,
         "ph_entropy": _q_entropy,
+        "ph_quality_loop": _q_phrase_quality,
+        "ner_distant_dp": _q_distant,
+        "ner_biaffine": _q_ner_biaffine,
+        "ner_unlabeled": _q_ner_unlabeled,
+        "ner_rotary_gp": _q_ner_rotary_gp,
+        "ner_efficient_gp": _q_ner_efficient_gp,
+        # --- (c) per-family keepers (r3-green) ---
+        "kg_corpus": _q_corpus,
+        "kg_mentions": _q_mentions,
+        "kg_triples": _q_triples,
+        "kg_score_prf": _q_score_prf,
+        "kg_events": _q_events,
+        "kg_canonical": _q_canonical,
+        "kg_nodes": _q_nodes,
+        "kg_edges": _q_edges,
+        "kg_link_exact": _q_link_exact,
+        "kg_link_bm25": _q_link_bm25,
+        "kg_link_dense": _q_link_dense,
+        "kg_sel_roundtrip": _q_sel_roundtrip,
+        "kg_pagerank": _q_pagerank,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "dedup_embedding": _q_embedding_neardup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_recall": _q_ann_recall,
+        "text_decontaminate": _q_decontaminate,
+        "text_pack_sequences": _q_pack_sequences,
+        "sts_spearman_ties": _q_sts_spearman_ties,
+        "ph_candidates": _q_candidates,
+        # ------------------- position 51+: past the driver's window ------
+        # every entry below has a green OFFICIAL row in CORRECTNESS_r03
+        # (at most one round old) and stays in the verify_contract sweep
+        "ner_tie_or_break": _q_tie_or_break,
+        "kg_triples_offsets": _q_triples_offsets,
+        "kg_offsets_closest": _q_offsets_closest,
+        "kg_offsets_longer_first": _q_offsets_longer_first,
+        "kg_link_pairs": _q_link_pairs,
+        "kg_link_gold_pairs": _q_link_gold_pairs,
+        "kg_link_gold_recall": _q_link_gold_recall,
+        "kg_link_rescored": _q_link_rescored,
+        "kg_link_rescored_boost": _q_link_rescored_boost,
+        "ev_windowed_counts": _q_ev_windows,
+        "ev_sessions": _q_ev_sessions,
+        "mm_media_features": _q_media_features,
+        "mm_frame_sample": _q_media_frames,
+        "mm_resize": _q_media_resize,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_jaccard": _q_jaccard,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "kg_score_events": _q_score_events,
+        "kg_ssi_prefix": _q_ssi_prefix,
+        "text_dsir_logratio": _q_dsir_logratio,
+        "text_fingerprints": _q_fingerprints,
+        "text_repetition": _q_repetition,
+        "text_sample_stratified": _q_sample_stratified,
+        "profile_lineitem": _q_profile_lineitem,
+        "sts_spearman": _q_sts_spearman,
+        "ph_features": _q_phrase_features,
     }
 
 
@@ -1280,6 +1312,8 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
         # (DP segmentation, numpy head decode) -> rows-only checks
         "ner_tie_or_break": _tie_or_break_oracle(),
         "kg_triples_offsets": gold_offsets_sql(),
+        "kg_triples_offsets_closest": gold_offsets_closest_sql(),
+        "kg_events_closest": gold_events_closest_sql(),
         "kg_offsets_closest": closest_pairs_duck_sql("documents"),
         "kg_offsets_longer_first": longer_first_duck_sql("documents"),
         "kg_link_rescored_boost": rescore_length_norm_duck_sql(

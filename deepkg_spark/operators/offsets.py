@@ -184,6 +184,58 @@ SELECT doc_id, 1, s, s FROM uni
 """.strip()
 
 
+def char_occurrences(text: str, span: str) -> list[int]:
+    """All (possibly overlapping) char start positions of `span` in `text` —
+    the char-level analogue of match_sublist (sel2record.py:99-117)."""
+    if not span:
+        return []
+    out, i = [], text.find(span)
+    while i >= 0:
+        out.append(i)
+        i = text.find(span, i + 1)
+    return out
+
+
+def closest_char_pair(
+    text: str, anchor: str, arg: str
+) -> tuple[int, int] | None:
+    """(anchor_start, arg_start) minimizing (|gap|, anchor_start, arg_start)
+    over all char occurrence pairs — the char-level analogue of the
+    relation 'closest' strategy (record_to_offset_closest_role,
+    sel2record.py:470-519: distance_tuple.sort() on (distance, arg1_match,
+    arg2_match)). None when either surface never occurs."""
+    a_occ = char_occurrences(text, anchor)
+    b_occ = char_occurrences(text, arg)
+    if not a_occ or not b_occ:
+        return None
+    return min(
+        ((a, b) for a in a_occ for b in b_occ),
+        key=lambda p: (abs(p[0] - p[1]), p[0], p[1]),
+    )
+
+
+def longer_first_char_assign(
+    text: str, spans: list[str]
+) -> dict[int, int]:
+    """Greedy non-overlapping char assignment, longest span first (the
+    char-level analogue of record_to_offset_longer_first,
+    sel2record.py:367-402): sort by length desc (original index asc on
+    ties), each span takes its earliest occurrence whose [start, start+len)
+    window does not overlap an already-taken window; unplaceable spans are
+    dropped. Returns {span_index: start}."""
+    order = sorted(range(len(spans)), key=lambda i: (-len(spans[i]), i))
+    taken: list[tuple[int, int]] = []
+    out: dict[int, int] = {}
+    for i in order:
+        n = len(spans[i])
+        for s in char_occurrences(text, spans[i]):
+            if all(s + n <= ts or s >= te for ts, te in taken):
+                taken.append((s, s + n))
+                out[i] = s
+                break
+    return out
+
+
 def longer_first_assign(
     tokens: list[str], spans: list[list[str]]
 ) -> dict[int, tuple[int, int]]:

@@ -90,13 +90,45 @@ _RETURN_RE = re.compile(r"return (mod[0-9]+)")
 _CLASS_RE = re.compile(r"class (Cls[0-9]+)\((Base[0-9]+)\)")
 
 
-def _doc_records(repo: str, path: str, content: str) -> list[tuple]:
+OFFSET_STRATEGIES = ("first", "closest", "longer_first")
+
+
+def _doc_records(
+    repo: str, path: str, content: str, offset_strategy: str = "first"
+) -> list[tuple]:
     """Build per-doc relation records with dedup + char offsets.
 
     Mirrors sel2record record building: per-doc seen-set dedup
-    (sel2record.py:463-466) and first-occurrence offset strategy
-    (sel2record.py:312-328 'first').
+    (sel2record.py:463-466) and the map_config offset strategy
+    (sel2record.py:312-328):
+
+    - 'first' (record_to_offset_first_role, :440-468): each argument takes
+      the first occurrence the extractor saw (regex match positions; the
+      file-id subject of imports/defines never occurs in content and gets
+      subj_start = -1).
+    - 'closest' (record_to_offset_closest_role, :470-519): the (subj, obj)
+      occurrence pair minimizing (|gap|, subj_start, obj_start); records
+      where EITHER surface has no occurrence in content are dropped — so
+      imports/defines (file-id subject) vanish under this strategy, exactly
+      as the reference drops un-reconstructable args. (Deviation, on
+      purpose: the reference `break`s out of the whole per-doc record loop
+      on the first unfound arg, silently discarding unrelated later
+      records; this engine drops per-record.)
+    - 'longer_first' (record_to_offset_longer_first, :367-402, the entity
+      strategy applied to the record's span list): subj and obj greedily
+      take non-overlapping earliest occurrences, longest surface first;
+      records where either span finds no free slot are dropped.
     """
+    from deepkg_spark.operators.offsets import (
+        closest_char_pair,
+        longer_first_char_assign,
+    )
+
+    if offset_strategy not in OFFSET_STRATEGIES:
+        raise ValueError(
+            f"offset_strategy must be one of {OFFSET_STRATEGIES}, "
+            f"got {offset_strategy!r}"
+        )
     file_id = f"{repo}/{path}"
     seen: set[tuple] = set()
     out: list[tuple] = []
@@ -106,6 +138,16 @@ def _doc_records(repo: str, path: str, content: str) -> list[tuple]:
         if key in seen:
             return
         seen.add(key)
+        if offset_strategy == "closest":
+            pair = closest_char_pair(content, subj, obj)
+            if pair is None:
+                return
+            subj_start, obj_start = pair
+        elif offset_strategy == "longer_first":
+            slots = longer_first_char_assign(content, [subj, obj])
+            if 0 not in slots or 1 not in slots:
+                return
+            subj_start, obj_start = slots[0], slots[1]
         out.append((repo, path, *key, subj_start, obj_start))
 
     for m in _IMPORT_RE.finditer(content):
@@ -126,15 +168,24 @@ def _doc_records(repo: str, path: str, content: str) -> list[tuple]:
     return out
 
 
-def triples_udf(corpus: DataFrame) -> DataFrame:
-    """Arrow-batched record building: one narrow mapInPandas stage."""
+def triples_udf(corpus: DataFrame, offset_strategy: str = "first") -> DataFrame:
+    """Arrow-batched record building: one narrow mapInPandas stage.
+
+    ``offset_strategy`` selects the production offset-mapping strategy
+    ('first' | 'closest' | 'longer_first'), mirroring the reference's
+    map_config option (sel2record.py:312-328) — see _doc_records."""
+    if offset_strategy not in OFFSET_STRATEGIES:
+        raise ValueError(
+            f"offset_strategy must be one of {OFFSET_STRATEGIES}, "
+            f"got {offset_strategy!r}"
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = TRIPLE_COLS + ["subj_start", "obj_start"]
         for pdf in batches:
             recs: list[tuple] = []
             for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
-                recs.extend(_doc_records(repo, path, content))
+                recs.extend(_doc_records(repo, path, content, offset_strategy))
             yield pd.DataFrame(recs, columns=cols)
 
     return corpus.select("repo", "path", "content").mapInPandas(
@@ -225,6 +276,49 @@ FROM m
 
 # ---------------------------------------------------------------- gold fixture
 
+def gold_offsets_closest_sql(documents_rel: str = "documents") -> str:
+    """Arithmetic gold for triples_udf(offset_strategy='closest'): only the
+    records whose BOTH surfaces occur in content survive (calls + extends —
+    the file-id subject of imports/defines never occurs, so the closest
+    strategy drops them, mirroring the reference's un-reconstructable-arg
+    drop in record_to_offset_closest_role, sel2record.py:470-519). Every
+    surviving surface occurs exactly once in the grammar, so the closest
+    pair IS that occurrence pair — same positions as gold_offsets_sql:
+      fn<d>        at 26+la+lb            (l3)
+      mod<a>.call  at 44+la+lb+ld         (l4)
+      Cls<d>       at 67+2*la+lb+ld+ls    (l5)
+      Base<b>      at 71+2*la+lb+2*ld+ls  (l5)
+    """
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 AS STRING) AS a,
+         CAST((doc_id * 7 + 3) % 97 AS STRING) AS b,
+         CAST(doc_id AS STRING) AS d,
+         least(length(text), 48) AS ls
+  FROM {documents_rel}
+), m AS (
+  SELECT a, b, d, ls,
+         length(a) AS la, length(b) AS lb, length(d) AS ld,
+         concat('org/repo', CAST(doc_id % 20 AS STRING)) AS repo,
+         concat('src/file_', d, '.py') AS path
+  FROM t
+)
+SELECT repo, path, concat('fn', d) AS subj, 'function' AS subj_type,
+       'calls' AS pred, concat('mod', a, '.call') AS obj,
+       'callable' AS obj_type,
+       CAST(26 + la + lb AS INT) AS subj_start,
+       CAST(44 + la + lb + ld AS INT) AS obj_start
+FROM m
+UNION ALL
+SELECT repo, path, concat('Cls', d), 'class', 'extends',
+       concat('Base', b), 'class',
+       CAST(67 + 2 * la + lb + ld + ls AS INT),
+       CAST(71 + 2 * la + lb + 2 * ld + ls AS INT)
+FROM m
+""".strip()
+
+
 def gold_triples_sql(documents_rel: str = "documents") -> str:
     """Engine-portable SQL: the same triples derived arithmetically from
     doc_id — independent of the extraction path; serves as the gold fixture
@@ -284,6 +378,43 @@ SELECT repo, path, 'invoke' AS event_type,
        concat('mod', a, '.call') AS trigger_text,
        CAST(44 + la + lb + ld AS INT) AS trigger_start,
        'callee' AS role, concat('mod', a) AS arg_text, CAST(7 AS INT) AS arg_start
+FROM m
+UNION ALL
+SELECT repo, path, 'invoke', concat('mod', a, '.call'),
+       CAST(44 + la + lb + ld AS INT),
+       'caller', concat('fn', d), CAST(26 + la + lb AS INT)
+FROM m
+""".strip()
+
+
+def gold_events_closest_sql(documents_rel: str = "documents") -> str:
+    """Arithmetic gold for sel_roundtrip_events(offset_strategy='closest')
+    (reference EventRecord.record_to_offset_closest_role,
+    sel2record.py:609-662): the trigger 'mod<a>.call' keeps its first (only)
+    occurrence at 44+la+lb+ld; the callee role 'mod<a>' has occurrences at 7
+    (l1), possibly 18+la (prefix of mod<b> when str(a) prefixes str(b)), and
+    44+la+lb+ld (prefix of the trigger itself, distance 0) — closest always
+    picks the trigger-position occurrence, which is what separates this gold
+    from gold_events_sql (first: callee at 7). The caller 'fn<d>' occurs
+    once at 26+la+lb under either strategy."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 AS STRING) AS a,
+         CAST((doc_id * 7 + 3) % 97 AS STRING) AS b,
+         CAST(doc_id AS STRING) AS d
+  FROM {documents_rel}
+), m AS (
+  SELECT concat('org/repo', CAST(doc_id % 20 AS STRING)) AS repo,
+         concat('src/file_', d, '.py') AS path,
+         a, d, length(a) AS la, length(b) AS lb, length(d) AS ld
+  FROM t
+)
+SELECT repo, path, 'invoke' AS event_type,
+       concat('mod', a, '.call') AS trigger_text,
+       CAST(44 + la + lb + ld AS INT) AS trigger_start,
+       'callee' AS role, concat('mod', a) AS arg_text,
+       CAST(44 + la + lb + ld AS INT) AS arg_start
 FROM m
 UNION ALL
 SELECT repo, path, 'invoke', concat('mod', a, '.call'),

@@ -307,20 +307,35 @@ def fix_unk_from_text(span: str, text: str, unk: str = UNK) -> str:
 # ---------------------------------------------------------------- events
 
 def sel_to_events(
-    sel: str, text: str, schema: RecordSchema
+    sel: str, text: str, schema: RecordSchema, offset_strategy: str = "first"
 ) -> list[tuple[str, str, int, str, str, int]]:
     """Parse + validate + dedup -> event role records
     (event_type, trigger_text, trigger_start, role, arg_text, arg_start).
 
     Mirrors the reference's event mapping (sel2record.py:62-67: spots whose
-    type is in the EVENT schema become {trigger, type, roles}) and the
-    first-match offset strategy (record_to_offset_first_role,
-    sel2record.py:560-612): trigger and every role take the FIRST char
-    occurrence of their span in the source text; a trigger that does not
-    occur drops the whole record, a role that does not occur is dropped
-    alone. The reference's cross-record trigger_matched_set (successive
-    matches for repeated triggers) is not needed for <=1 event per doc and
-    is intentionally omitted."""
+    type is in the EVENT schema become {trigger, type, roles}) and its two
+    event offset strategies:
+
+    - 'first' (record_to_offset_first_role, sel2record.py:560-607): trigger
+      and every role take the FIRST char occurrence of their span in the
+      source text; a trigger that does not occur drops the whole record, a
+      role that does not occur is dropped alone.
+    - 'closest' (record_to_offset_closest_role, sel2record.py:609-662): the
+      trigger still takes its first occurrence, but each role takes the
+      occurrence CLOSEST to the trigger start (numpy.argmin over
+      |role_start - trigger_start| — earliest occurrence wins ties, exactly
+      argmin's first-minimum rule).
+
+    The reference's cross-record trigger_matched_set (successive trigger
+    occurrences for repeated triggers) is not needed for <=1 event per doc
+    and is intentionally omitted."""
+    from deepkg_spark.operators.offsets import char_occurrences
+
+    if offset_strategy not in ("first", "closest"):
+        raise ValueError(
+            "event offset_strategy must be 'first' or 'closest' "
+            f"(the reference's EventRecord strategies), got {offset_strategy!r}"
+        )
     seen: set[tuple] = set()
     out = []
     for stype, stext, asocs in parse_sel(sel):
@@ -334,9 +349,15 @@ def sel_to_events(
             if role not in schema.event_role_dict.get(stype, []):
                 continue
             rtext = fix_unk_from_text(rtext, text)
-            a_start = text.find(rtext)
-            if a_start < 0:
-                continue
+            if offset_strategy == "closest":
+                occ = char_occurrences(text, rtext)
+                if not occ:
+                    continue
+                a_start = min(occ, key=lambda s: (abs(s - t_start), s))
+            else:
+                a_start = text.find(rtext)
+                if a_start < 0:
+                    continue
             rec = (stype, stext, t_start, role, rtext, a_start)
             if rec in seen:
                 continue
@@ -346,12 +367,15 @@ def sel_to_events(
 
 
 def sel_roundtrip_events(
-    corpus: DataFrame, schema: RecordSchema = CODE_SCHEMA
+    corpus: DataFrame, schema: RecordSchema = CODE_SCHEMA,
+    offset_strategy: str = "first",
 ) -> DataFrame:
     """corpus -> SEL serialize -> parse -> validated event role records with
-    first-match char offsets. One narrow Arrow stage (same shape as
-    sel_roundtrip_triples); oracle = the arithmetic event gold
-    (relations.gold_events_sql)."""
+    char offsets under the selected strategy ('first' | 'closest' — the
+    reference's EventRecord map_config options, see sel_to_events). One
+    narrow Arrow stage (same shape as sel_roundtrip_triples); oracle = the
+    arithmetic event gold (relations.gold_events_sql /
+    gold_events_closest_sql)."""
 
     cols = (
         "repo", "path", "event_type", "trigger_text", "trigger_start",
@@ -364,7 +388,7 @@ def sel_roundtrip_events(
             for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
                 sel = spot_asoc_to_sel(doc_to_spot_asoc(repo, path, content))
                 for etype, trig, ts, role, arg, as_ in sel_to_events(
-                    sel, content, schema
+                    sel, content, schema, offset_strategy
                 ):
                     rows["repo"].append(repo)
                     rows["path"].append(path)

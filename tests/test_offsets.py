@@ -140,3 +140,94 @@ def test_longer_first_frame_hand_case(spark):
             for r in longer_first_frame(docs).collect()}
     assert rows[(1, 0)] == (0, 1) and rows[(1, 1)] == (3, 3)
     assert rows[(2, 0)] == (0, 1) and (2, 1) not in rows
+
+
+# ------------------- char-level helpers + production-path strategies -------
+
+def test_char_occurrences_overlapping():
+    from deepkg_spark.operators.offsets import char_occurrences
+
+    assert char_occurrences("aaaa", "aa") == [0, 1, 2]
+    assert char_occurrences("abcabc", "abc") == [0, 3]
+    assert char_occurrences("abc", "") == []
+    assert char_occurrences("abc", "zz") == []
+
+
+def test_closest_char_pair_divergence_and_ties():
+    from deepkg_spark.operators.offsets import closest_char_pair
+
+    # 'mod1' occurs at 0 and 20; anchor 'fn9' at 12 -> closest picks 20
+    text = "mod1 padpadpad fn9 x mod1"
+    assert text.index("fn9") == 15  # sanity of the fixture itself
+    assert closest_char_pair(text, "fn9", "mod1") == (15, 21)
+    # first-occurrence semantics would have picked 0 — a real divergence
+    # tie on |gap|: earliest (anchor, arg) wins
+    t2 = "b a b"
+    assert closest_char_pair(t2, "a", "b") == (2, 0)
+    # missing either side -> None
+    assert closest_char_pair(t2, "zz", "b") is None
+    assert closest_char_pair(t2, "a", "zz") is None
+
+
+def test_longer_first_char_assign_greedy_collision():
+    from deepkg_spark.operators.offsets import longer_first_char_assign
+
+    # spans sorted by char length desc: 'abc' first takes [0,3); 'ab'
+    # overlaps there, dodges to its occurrence at 4
+    text = "abc ab"
+    assert longer_first_char_assign(text, ["ab", "abc"]) == {1: 0, 0: 4}
+    # unplaceable shorter span is dropped
+    assert longer_first_char_assign("abc", ["ab", "abc"]) == {1: 0}
+
+
+def test_triples_udf_offset_strategies(spark, sf_dir):
+    """Production path: 'closest' drops records whose subject (file-id)
+    never occurs in content and keeps calls/extends with the closest pair;
+    'longer_first' assigns non-overlapping slots; 'first' unchanged."""
+    from deepkg_spark.operators.relations import triples_udf
+    from deepkg_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    first = triples_udf(corpus).collect()
+    closest = triples_udf(corpus, offset_strategy="closest").collect()
+    lf = triples_udf(corpus, offset_strategy="longer_first").collect()
+    preds_first = {r["pred"] for r in first}
+    assert preds_first == {"imports", "defines", "calls", "extends"}
+    for rows in (closest, lf):
+        assert {r["pred"] for r in rows} == {"calls", "extends"}
+        assert all(r["subj_start"] >= 0 and r["obj_start"] >= 0 for r in rows)
+    # on the single-occurrence grammar the surviving offsets agree with
+    # 'first' record-by-record
+    key = lambda r: (r["repo"], r["path"], r["pred"])
+    f_map = {key(r): (r["subj_start"], r["obj_start"]) for r in first
+             if r["pred"] in ("calls", "extends")}
+    for r in closest:
+        assert (r["subj_start"], r["obj_start"]) == f_map[key(r)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        triples_udf(corpus, offset_strategy="nope")
+
+
+def test_events_closest_strategy_diverges(spark, sf_dir):
+    """Event path: under 'closest' the callee role re-matches to the
+    occurrence AT the trigger (distance 0) instead of its first occurrence
+    at char 7 — divergence on every row; caller unchanged."""
+    from deepkg_spark.operators.sel import sel_roundtrip_events
+    from deepkg_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    first = {(r["repo"], r["path"], r["role"]): r
+             for r in sel_roundtrip_events(corpus).collect()}
+    closest = {(r["repo"], r["path"], r["role"]): r
+               for r in sel_roundtrip_events(
+                   corpus, offset_strategy="closest").collect()}
+    assert set(first) == set(closest) and first
+    for k, c in closest.items():
+        f = first[k]
+        assert c["trigger_start"] == f["trigger_start"]
+        if k[2] == "callee":
+            assert f["arg_start"] == 7
+            assert c["arg_start"] == c["trigger_start"]
+        else:
+            assert c["arg_start"] == f["arg_start"]
