@@ -1,6 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints exactly ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "loadavg": {"start": l, "end": l},
+   "query_loadavg": {name: [before, after]}}
+
+The loadavg fields make a storm-poisoned run machine-detectable in the
+recorded BENCH_r{N}.json itself (this host's neighbors pulse loadavg
+0.1 <-> 30+; see BENCH.md): "loadavg" brackets the whole run, and
+"query_loadavg" carries the 1-min loadavg immediately before/after the
+BEST (reported) sample of each query — a reported number whose bracket
+shows loadavg >> cpu count was starved and should not be read as a
+regression.
 
 Each query is forced end-to-end with the noop sink (full materialization —
 count() alone can prune expensive expressions). Run `python bench_scaling.py`
@@ -62,11 +72,20 @@ def main() -> None:
     )
     ann_c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
 
+    def _kg_pipeline() -> None:
+        # persist the extraction once: edge AND node tables consume the same
+        # triple stream, and without the cache each sink re-runs the full
+        # scan+regex extraction (the single most expensive stage) — the same
+        # persist a production job uses (cli.py graph job)
+        t = triples_frame(corpus).persist()
+        try:
+            _force(edge_table(t))
+            _force(node_table(t))
+        finally:
+            t.unpersist()
+
     queries = {
-        "kg_pipeline": lambda: (
-            _force(edge_table(triples_frame(corpus))),
-            _force(node_table(triples_frame(corpus))),
-        ),
+        "kg_pipeline": _kg_pipeline,
         "kg_sel_udf_pipeline": lambda: _force(sel_roundtrip_triples(corpus)),
         "link_bm25": lambda: _force(bm25_topn(q_docs, part, topn=5)),
         "ann_dense_topk": lambda: _force(dense_topk_udf(ann_q, ann_c, k=10)),
@@ -83,13 +102,19 @@ def main() -> None:
     # per cycle) so one multi-minute noise burst cannot poison every sample
     # of a single query — its samples land minutes apart.
     repeats = int(os.environ.get("DEEPKG_BENCH_REPEATS", "3"))
+    run_load0 = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    query_loadavg: dict[str, list[float]] = {}
     for _ in range(repeats):
         for name, fn in queries.items():
+            l0 = round(os.getloadavg()[0], 2)
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
-            timings[name] = round(min(timings.get(name, dt), dt), 3)
+            l1 = round(os.getloadavg()[0], 2)
+            if name not in timings or dt < timings[name]:
+                timings[name] = round(dt, 3)
+                query_loadavg[name] = [l0, l1]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -100,6 +125,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg": {
+                    "start": run_load0,
+                    "end": round(os.getloadavg()[0], 2),
+                },
+                "query_loadavg": query_loadavg,
             }
         )
     )

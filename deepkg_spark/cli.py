@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-splits", type=int, default=32)
+    ap.add_argument("--offset-strategy", default="first",
+                    choices=["first", "closest", "longer_first"],
+                    help="triples: offset-mapping strategy (reference "
+                    "map_config); non-'first' strategies run the Arrow UDF "
+                    "path with per-record occurrence re-matching")
     ap.add_argument("--job-id", default="kg")
     ap.add_argument("--tau", type=float, default=0.5, help="dedup jaccard threshold")
     ap.add_argument("--dict", dest="dict_path", default=None,
@@ -196,13 +201,22 @@ def main() -> None:
     corpus = load_corpus(spark, args.sf_dir)
 
     if args.job == "triples":
-        df = triples_frame(corpus)
+        if args.offset_strategy == "first":
+            df = triples_frame(corpus)  # JVM whole-stage-codegen path
+        else:
+            from deepkg_spark.operators.relations import triples_udf
+
+            df = triples_udf(corpus, offset_strategy=args.offset_strategy)
         df.write.mode("overwrite").parquet(f"{args.out}/triples")
         n = spark.read.parquet(f"{args.out}/triples").count()
-        print(json.dumps({"job": "triples", "rows": n}))
+        print(json.dumps({"job": "triples", "rows": n,
+                          "offset_strategy": args.offset_strategy}))
     elif args.job == "graph":
-        t = triples_frame(corpus)
+        # both tables consume the same triple stream: cache the extraction
+        # so the two writes don't each re-run the scan+regex stage
+        t = triples_frame(corpus).persist()
         write_graph(node_table(t), edge_table(t), args.out)
+        t.unpersist()
         n_nodes = spark.read.parquet(f"{args.out}/nodes").count()
         n_edges = spark.read.parquet(f"{args.out}/edges").count()
         print(json.dumps({"job": "graph", "nodes": n_nodes, "edges": n_edges}))

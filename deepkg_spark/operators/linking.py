@@ -50,6 +50,22 @@ EPSILON = 0.25  # rank_bm25 Okapi negative-idf correction factor
 BROADCAST_DICT_MAX = 1_000_000
 ROUND = 6
 
+# bm25_topn persists its dictionary-derived postings/doclen frames (they feed
+# doclen, df, scalar stats AND the scoring join). The persisted pair is
+# registered here and released on the NEXT bm25_topn call (or explicitly via
+# release_bm25_caches), so a long-lived session calling bm25_topn repeatedly
+# holds at most one cached pair instead of leaking one per call. Unpersisting
+# is always safe for correctness — Spark recomputes from lineage if a caller
+# still holds an unmaterialized earlier result.
+_BM25_CACHES: list[DataFrame] = []
+
+
+def release_bm25_caches() -> None:
+    """Unpersist the postings/doclen pair cached by the most recent
+    bm25_topn call (cleanup handle for callers that own the lifecycle)."""
+    while _BM25_CACHES:
+        _BM25_CACHES.pop().unpersist()
+
 
 # ---------------------------------------------------------------- exact
 
@@ -108,11 +124,14 @@ def bm25_topn(
     )
     # postings feed doclen, df, and the scoring join, plus the scalar stats:
     # persist once instead of re-tokenizing the dictionary five times (the
-    # reference pickles these same stats, BM25_Model.py:88-130)
+    # reference pickles these same stats, BM25_Model.py:88-130); scope the
+    # pair to "most recent call" so repeated calls don't accumulate caches
+    release_bm25_caches()
     postings = (
         d_tok.groupBy("term_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     )
     doclen = postings.groupBy("term_id").agg(F.sum("tf").alias("dl")).persist()
+    _BM25_CACHES.extend((postings, doclen))
 
     # all three driver-side scalars (n_docs, avgdl, avg_idf) in ONE action:
     # three 1-row aggregates cross-joined into a single 1-row plan — one job

@@ -2,13 +2,15 @@
 
 Images/audio/video ride through the engine as `binary` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample are
-Arrow-batched mapInPandas stages. Codec libraries are probed at import:
-when PIL is present the real image decode activates behind ``fake=False``
-(conditional test in tests/test_multimodal_streaming.py); in this container
-no codecs ship, so ``_codec_decode`` raises NotImplementedError and every
-test and default path uses the deterministic fake decoder
-(payload-hash-derived stats) — the Spark-side plumbing (schema, batch
-shape, partitioning, UDF signatures) is real and fully exercised either way.
+Arrow-batched mapInPandas stages. The real-decode branch (``fake=False``)
+has three tiers: PIL when present (probed at import), a VENDORED minimal
+netpbm (binary PGM/PPM) decoder for P5/P6 payloads — so the real branch is
+executable and tested even in codec-less containers like this one — and
+NotImplementedError for anything else (audio/video stay stubbed without
+ffmpeg). The default/contract paths use the deterministic fake decoder
+(payload-hash-derived stats) so results stay oracle-checkable; the
+Spark-side plumbing (schema, batch shape, partitioning, UDF signatures) is
+identical either way.
 
 MEDIA_SCHEMA:
     media(media_id long, kind string, payload binary,
@@ -59,18 +61,76 @@ except ImportError:
     HAS_PIL = False
 
 
+def _netpbm_header(data: bytes) -> tuple[list[int], int]:
+    """Parse the three whitespace-separated header integers after the magic
+    ('#' comments run to end-of-line), returning (ints, pixel_data_offset).
+    The pixel block starts one whitespace byte after the maxval token."""
+    vals: list[int] = []
+    i = 2  # past the 2-byte magic
+    n = len(data)
+    while len(vals) < 3:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if i < n and data[i : i + 1] == b"#":
+            while i < n and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(data[i:j]))
+        i = j
+    return vals, i + 1  # exactly one whitespace byte separates header/pixels
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Vendored minimal REAL image decoder: binary PGM (P5, grayscale) and
+    PPM (P6, RGB), maxval <= 255 — a from-scratch reader of the public
+    Netpbm format so the real-codec branch of the seam is executable (and
+    tested) even in containers without PIL. P6 RGB converts to luma with
+    PIL's documented ITU-R 601-2 integer formula
+    (L = (299 R + 587 G + 114 B) // 1000), matching `convert("L")`."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM payload (magic {magic!r})")
+    (w, h, maxval), off = _netpbm_header(payload)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported by the vendored decoder")
+    if magic == b"P5":
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
+        return px.reshape(h, w).copy()
+    rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+    rgb = rgb.reshape(h, w, 3).astype(np.uint32)
+    luma = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    return luma.astype(np.uint8)
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """Binary PGM (P5) writer for a uint8 [h, w] raster — the fixture
+    counterpart of decode_netpbm."""
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
 def _codec_decode(payload: bytes, kind: str) -> np.ndarray:
     """The real decoder seam: PIL for images when available (probed at
-    import), NotImplementedError otherwise. Audio/video codecs (ffmpeg) are
-    never shipped here — their decode stays stubbed on any image."""
-    if kind == "image" and HAS_PIL:
-        import io
+    import), the vendored netpbm reader for P5/P6 payloads otherwise, and
+    NotImplementedError for everything else. Audio/video codecs (ffmpeg)
+    are never shipped here — their decode stays stubbed on any image."""
+    if kind == "image":
+        if HAS_PIL:
+            import io
 
-        img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
-        return np.asarray(img, dtype=np.uint8)
+            img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8)
+        if payload[:2] in (b"P5", b"P6"):
+            return decode_netpbm(payload)
     raise NotImplementedError(
         "codec for kind=" + kind + " not available in this environment; "
-        "use fake=True (deterministic hash-derived decode) or ship PIL/ffmpeg "
+        "use fake=True (deterministic hash-derived decode), encode images as "
+        "binary PGM/PPM for the vendored decoder, or ship PIL/ffmpeg "
         "via --py-files/--archives on a real cluster"
     )
 

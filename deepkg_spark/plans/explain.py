@@ -273,6 +273,17 @@ def main() -> None:
         required=["MapInPandas"],
         forbidden=["Exchange"],
     )
+    # production offset strategies: the per-record occurrence re-matching
+    # happens inside the SAME narrow Arrow stage — strategy choice never
+    # introduces a shuffle
+    from deepkg_spark.operators.relations import triples_udf as _t_udf
+
+    audit(
+        "triples_udf offset_strategy=closest (narrow Arrow stage)",
+        _t_udf(corpus, offset_strategy="closest"),
+        required=["MapInPandas"],
+        forbidden=["Exchange"],
+    )
     # ES repeat-boost rescore: candidate list re-ranked via broadcast-joined
     # dims + windows — never a cartesian or sort-merge join
     from deepkg_spark.operators.linking import rescore_length_norm

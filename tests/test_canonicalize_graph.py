@@ -194,3 +194,23 @@ def test_dsir_logratio_planted_copies_score_highest(spark, sf_dir):
     top = {r["doc_id"] for r in scored[: max(len(planted) * 3, 10)]}
     # most planted copies sit inside the top tier
     assert len(planted & top) >= len(planted) * 2 // 3
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "scale_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_iterative_graph_oracles_at_two_fixture_scales(spark, scale_dir):
+    """The two iterative plans (star-contraction CC, PageRank) hold their
+    exact oracles at BOTH fixture scales — guarding the convergence logic
+    against fixture-specific luck (different edge densities, cluster sizes
+    and dangling-mass profiles at sf0.001 vs sf0.01)."""
+    import __spark_entry__ as entrymod
+
+    for name in ("kg_pagerank", "dedup_clusters_star"):
+        df = entrymod.queries()[name](spark, scale_dir)
+        compare_spark_duck(
+            df, duck_connect(scale_dir), entrymod.oracle_sql()[name]
+        )

@@ -194,3 +194,41 @@ def test_rescore_repeat_boost(spark, sf_dir):
     doubled = [k for k in b.keys() & p.keys()
                if abs(b[k] - 2 * p[k]) < 2e-6]
     assert doubled, "boosted scores are not doubled normalized scores"
+
+
+def test_bm25_cache_scoped_to_most_recent_call(spark, sf_dir):
+    """Repeated bm25_topn calls in one session hold at most one cached
+    postings/doclen pair (earlier pairs are unpersisted on the next call),
+    and release_bm25_caches() drops the last pair too."""
+    from pyspark.sql import functions as F
+
+    from deepkg_spark.operators.linking import (
+        _BM25_CACHES,
+        bm25_topn,
+        release_bm25_caches,
+    )
+
+    q = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    ).limit(20)
+    d = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
+    )
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    release_bm25_caches()
+    base = n_persistent()
+    first = bm25_topn(q, d, topn=3)
+    assert first.count() > 0
+    after_one = n_persistent()
+    assert len(_BM25_CACHES) == 2
+    for _ in range(3):
+        assert bm25_topn(q, d, topn=3).count() > 0
+    # the persisted-RDD count must not grow with call count
+    assert n_persistent() <= after_one
+    assert len(_BM25_CACHES) == 2
+    release_bm25_caches()
+    assert len(_BM25_CACHES) == 0
+    assert n_persistent() <= base + (after_one - base)  # nothing new leaked

@@ -25,6 +25,14 @@ def _load():
     return entrymod, manifest
 
 
+def test_round_keys_are_zero_padded():
+    """Keys are r{NN} (zero-padded) so lexicographic sort == round order —
+    'r10' would otherwise sort before 'r3'."""
+    _, manifest = _load()
+    for k in manifest:
+        assert len(k) == 3 and k[0] == "r" and k[1:].isdigit(), k
+
+
 def test_manifest_matches_live_registry():
     """The newest manifest entry IS the live first-50 ordering (a registry
     edit without a manifest update fails here, forcing the rotation
