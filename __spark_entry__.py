@@ -72,6 +72,10 @@ from deepkg_spark.operators.dedup import (
     simhash_duck_sql,
     simhash_pairs,
     simhash_pairs_duck_sql,
+    substring_spans,
+    substring_spans_duck_sql,
+    substring_stats,
+    substring_stats_duck_sql,
 )
 from deepkg_spark.operators.mentions import (
     head_spans_udf,
@@ -115,6 +119,8 @@ from deepkg_spark.operators.curation import (
 )
 from deepkg_spark.operators.distant import distant_supervision, tie_or_break_spans
 from deepkg_spark.operators.events import (
+    asof_join,
+    asof_join_duck_sql,
     sessionize,
     sessionize_duck_sql,
     windowed_counts,
@@ -500,6 +506,18 @@ def _q_dedup_clusters(spark, sf_dir):
     )
     verts = docs.select(F.col("doc_id").alias("v"))
     return connected_components(verts, pairs)
+
+
+def _q_substring_spans(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2021): maximal >= 8-token spans whose
+    every 8-token window occurs >= 2 times in the (duplicate-injected)
+    corpus — the planted full and near copies guarantee non-trivial spans,
+    and the oracle checks the exact merged intervals."""
+    return substring_spans(_dup_docs(spark, sf_dir))
+
+
+def _q_substring_stats(spark, sf_dir):
+    return substring_stats(_dup_docs(spark, sf_dir))
 
 
 def _q_simhash(spark, sf_dir):
@@ -954,6 +972,13 @@ def _q_ev_sessions(spark, sf_dir):
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_ev_asof(spark, sf_dir):
+    """As-of join: each purchase picks up the user's most recent prior (or
+    same-instant) click — union-tag running-last plan, one shuffle on
+    user_id, no range-join explosion."""
+    return asof_join(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_triples_offsets(spark, sf_dir):
     """Offset-level triple extraction (Arrow UDF path, char offsets) against
     the arithmetic offset gold — the offset-level P/R evidence."""
@@ -1111,6 +1136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) new round-4 oracle queries ---
         "kg_triples_offsets_closest": _q_triples_offsets_closest,
         "kg_events_closest": _q_events_closest,
+        "dedup_substring_spans": _q_substring_spans,
+        "dedup_substring_stats": _q_substring_stats,
+        "ev_asof_join": _q_ev_asof,
         # --- (b) round-3 tail: last official row r01/r02 (oracle twins /
         #     modes) or never recorded (rows-only) — fresh rows due ---
         "kg_mentions_udf": _q_mentions_udf,
@@ -1160,9 +1188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "text_decontaminate": _q_decontaminate,
         "text_pack_sequences": _q_pack_sequences,
+        # ------------------- position 51+: past the driver's window ------
         "sts_spearman_ties": _q_sts_spearman_ties,
         "ph_candidates": _q_candidates,
-        # ------------------- position 51+: past the driver's window ------
         # every entry below has a green OFFICIAL row in CORRECTNESS_r03
         # (at most one round old) and stays in the verify_contract sweep
         "ner_tie_or_break": _q_tie_or_break,
@@ -1239,6 +1267,8 @@ def oracle_sql() -> dict[str, str]:
             + ") lp",
             prelude_ctes=f"dup_docs AS ({_DUP_SQL})",
         ),
+        "dedup_substring_spans": _with_dup(substring_spans_duck_sql),
+        "dedup_substring_stats": _with_dup(substring_stats_duck_sql),
         "dedup_simhash": _with_dup(simhash_duck_sql),
         "dedup_simhash_pairs": _with_dup(simhash_pairs_duck_sql, max_hamming=3),
         "dedup_jaccard": _merge_cte(
@@ -1354,6 +1384,7 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
         ),
         "ev_windowed_counts": windowed_counts_duck_sql(),
         "ev_sessions": sessionize_duck_sql(),
+        "ev_asof_join": asof_join_duck_sql(),
         "kg_link_gold_pairs": training_pairs_gold_duck_sql(
             bm25_duck_sql(
                 f"(SELECT DISTINCT qid, qtext FROM ({gold_queries_sql()}) gq)",

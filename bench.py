@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from deepkg_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs  # noqa: E402
+from deepkg_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    simhash_pairs,
+    substring_spans,
+)
 from deepkg_spark.operators.graph import edge_table, node_table  # noqa: E402
 from deepkg_spark.operators.linking import bm25_topn, dense_topk_udf  # noqa: E402
 from deepkg_spark.operators.phrases import pmi  # noqa: E402
@@ -91,6 +95,7 @@ def main() -> None:
         "ann_dense_topk": lambda: _force(dense_topk_udf(ann_q, ann_c, k=10)),
         "dedup_minhash_lsh": lambda: _force(minhash_lsh_pairs(docs, tau=0.5)),
         "dedup_simhash_pairs": lambda: _force(simhash_pairs(docs, max_hamming=3)),
+        "dedup_substring": lambda: _force(substring_spans(docs)),
         "ph_pmi": lambda: _force(pmi(docs, 3)),
         "text_fingerprints": lambda: _force(fingerprints(docs)),
         "text_quality": lambda: _force(quality_score(docs)),

@@ -36,9 +36,11 @@ from deepkg_spark.functions.hashing import (
     MERSENNE31,
     duck_h31,
     duck_h32,
+    duck_h60,
     minhash_coeffs,
     spark_h31,
     spark_h32,
+    spark_h60,
 )
 from deepkg_spark.functions.text import duck_ngrams, duck_tokens, spark_ngrams, spark_tokens
 
@@ -475,3 +477,152 @@ def embedding_neardup_lsh(
         .filter(F.col("cos") >= tau)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+# ------------------------------------------------ exact substring spans
+
+SUBSTR_W = 8  # duplicated-window width, in tokens
+
+
+def substring_spans(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal duplicated spans.
+
+    The ExactSubstr dedup of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), re-expressed for Spark. The paper builds
+    a suffix array over the concatenated corpus — inherently sequential and
+    single-machine; the distributed equivalent used here: slide a w-token
+    window over every doc, 60-bit-hash each window, count occurrences
+    globally, keep windows whose hash occurs >= 2 times anywhere in the
+    corpus (cross-doc or repeated within one doc — the paper's semantics
+    flag both), then merge overlapping/adjacent duplicated windows per doc
+    into maximal spans (gaps-and-islands). A length-L duplicated substring
+    shared by two docs produces the same L-w+1 window hashes in both, so
+    the merged span recovers exactly the paper's "substring of >= w tokens
+    that occurs twice" up to window granularity.
+
+    span_start/span_end are token indices into the doc's whitespace
+    tokenization, end exclusive.
+
+    Scale shape: the window explode is narrow (per-doc); the occurrence
+    count groupBy keys on a 60-bit uniform hash (no hot keys — a pathological
+    corpus-stopword window still counts as ONE key with a big count, and
+    only the count, never a row list, is materialized); the join back is a
+    hash equi-join on the same uniform key; the islands merge uses window
+    functions partitioned BY DOC (never a global window). Shuffled payload
+    per window is (doc_id, pos, 8-byte hash) — raw text never shuffles.
+    Reference analogue: per-doc tuple dedup sel2record.py:463-466; this is
+    the corpus-level generalization.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.expr(spark_tokens("text")).alias("toks"))
+    win = (
+        toks.filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w} + 1), "
+                    f"i -> struct(i - 1 AS pos, concat_ws(' ', slice(toks, i, {w})) AS gram))"
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", "o.pos", F.expr(spark_h60("o.gram")).alias("gh"))
+    )
+    dup_gh = win.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    dup = win.join(dup_gh.select("gh"), "gh").select("doc_id", "pos")
+    per_doc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = dup.withColumn(
+        "new_isl",
+        F.when(
+            F.lag("pos").over(per_doc).isNull()
+            | (F.col("pos") - F.lag("pos").over(per_doc) > w),
+            1,
+        ).otherwise(0),
+    ).withColumn("isl", F.sum("new_isl").over(per_doc))
+    return (
+        marked.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + w).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start")).cast("bigint").alias("span_tokens"),
+        )
+    )
+
+
+def substring_spans_duck_sql(docs_rel: str, w: int = SUBSTR_W) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM {docs_rel}
+), win AS (
+  SELECT doc_id, i AS pos,
+         {duck_h60(f"array_to_string(list_slice(toks, i + 1, i + {w}), ' ')")} AS gh
+  FROM toks, unnest(range(len(toks) - {w} + 1)) AS u(i)
+  WHERE len(toks) >= {w}
+), dup_gh AS (
+  SELECT gh FROM win GROUP BY gh HAVING count(*) >= 2
+), dup AS (
+  SELECT doc_id, pos FROM win JOIN dup_gh USING (gh)
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER pd IS NULL
+                   OR pos - lag(pos) OVER pd > {w} THEN 1 ELSE 0 END AS new_isl
+  FROM dup WINDOW pd AS (PARTITION BY doc_id ORDER BY pos)
+), grp AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {w} AS BIGINT) AS span_end,
+       CAST(max(pos) + {w} - min(pos) AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, isl
+"""
+
+
+def substring_stats(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac): per-doc duplicated-token load.
+
+    dup_tokens sums the doc's maximal duplicated spans from
+    ``substring_spans``; docs with no duplicated window report 0 / 0.0.
+    The Lee et al. pipeline drops (or trims) docs above a dup_frac cut;
+    this emits the signal and leaves the policy to the caller.
+    """
+    spans = substring_spans(docs, w=w)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
+    counts = docs.select(
+        "doc_id", F.expr(f"size({spark_tokens('text')})").cast("bigint").alias("n_tokens")
+    )
+    return counts.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            ROUND,
+        ).alias("dup_frac"),
+    )
+
+
+def substring_stats_duck_sql(docs_rel: str, w: int = SUBSTR_W) -> str:
+    return f"""
+WITH spans AS ({substring_spans_duck_sql(docs_rel, w)}),
+per_doc AS (
+  SELECT doc_id, sum(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id
+), counts AS (
+  SELECT doc_id, CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM {docs_rel}
+)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(dup_tokens, 0) AS DOUBLE)
+             / greatest(n_tokens, 1), {ROUND}) AS dup_frac
+FROM counts LEFT JOIN per_doc USING (doc_id)
+"""

@@ -100,3 +100,110 @@ SELECT user_id, CAST(min(ep) AS BIGINT) AS session_start,
        round(sum(value), {ROUND}) AS sum_value
 FROM s GROUP BY user_id, session_no
 """.strip()
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """As-of join: each `left_type` event gets the most recent `right_type`
+    event AT-OR-BEFORE its timestamp for the same user.
+
+    (event_id, user_id, ts_epoch, prior_event_id, prior_value, lag_seconds);
+    prior_* are NULL when no earlier right event exists. Ties: a right event
+    at exactly the left ts matches; among several right events at one
+    (user, ts) the highest event_id wins (full deterministic ordering).
+
+    Spark has no ASOF JOIN; a naive range join explodes to
+    O(|left| x |right per user|). This is the scale-safe union-tag pattern:
+    tag both sides, sort per user by (ts, tag, event_id) with right rows
+    before left at equal ts, and carry the running last non-null right
+    payload — ONE shuffle on user_id, per-key windows only (never global),
+    linear in |left| + |right|. At 100 TB the user_id key space is huge and
+    uniform, so the single repartition is the floor for any per-user
+    computation.
+    """
+    from pyspark.sql import Window
+
+    # tag 0 = right (visible to same-ts lefts), 1 = left
+    tagged = events.filter(F.col("event_type") == right_type).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("tts"),
+        F.lit(0).alias("tag"),
+        "event_id",
+        F.col("value").alias("r_value"),
+    ).unionByName(
+        events.filter(F.col("event_type") == left_type).select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("tts"),
+            F.lit(1).alias("tag"),
+            "event_id",
+            F.lit(None).cast("double").alias("r_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclude the current row from the carried payload via lag-of-running:
+    # for a LEFT row the running last right payload over [start, current]
+    # IS the as-of match (current row contributes nulls)
+    joined = (
+        tagged.withColumn(
+            "prior_event_id", F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "prior_ts", F.last(F.when(F.col("tag") == 0, F.col("tts")), ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "prior_value", F.last(F.when(F.col("tag") == 0, F.col("r_value")), ignorenulls=True).over(w)
+        )
+        .filter(F.col("tag") == 1)
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("tts").cast("bigint").alias("ts_epoch"),
+        "prior_event_id",
+        F.round("prior_value", ROUND).alias("prior_value"),
+        (F.unix_timestamp("tts") - F.unix_timestamp("prior_ts"))
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+
+
+def asof_join_duck_sql(
+    events_rel: str = "events",
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> str:
+    """Identical union-tag window plan in DuckDB (not its native ASOF JOIN:
+    with duplicate right timestamps ASOF picks an unspecified row, while the
+    explicit (ts, tag, event_id) ordering is deterministic in both engines)."""
+    return f"""
+WITH tagged AS (
+  SELECT user_id, ts AS tts, 0 AS tag, event_id, value AS r_value
+  FROM {events_rel} WHERE event_type = '{right_type}'
+  UNION ALL
+  SELECT user_id, ts AS tts, 1 AS tag, event_id, NULL AS r_value
+  FROM {events_rel} WHERE event_type = '{left_type}'
+), run AS (
+  SELECT user_id, tts, tag, event_id,
+         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER w AS prior_event_id,
+         last_value(CASE WHEN tag = 0 THEN tts END IGNORE NULLS) OVER w AS prior_ts,
+         last_value(CASE WHEN tag = 0 THEN r_value END IGNORE NULLS) OVER w AS prior_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY tts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       -- floor, not CAST: duckdb CAST(double AS BIGINT) rounds while
+       -- Spark's unix_timestamp truncates sub-second parts
+       CAST(floor(epoch(tts)) AS BIGINT) AS ts_epoch,
+       prior_event_id,
+       round(prior_value, {ROUND}) AS prior_value,
+       CAST(floor(epoch(tts)) - floor(epoch(prior_ts)) AS BIGINT) AS lag_seconds
+FROM run WHERE tag = 1
+"""

@@ -335,6 +335,28 @@ def main() -> None:
         forbidden=["CartesianProduct", "SortMergeJoin"],
     )
 
+    # exact-substring dedup: narrow window explode, uniform-hash agg +
+    # equi-join back, islands merge on PER-DOC windows — no cross product
+    from deepkg_spark.operators.dedup import substring_spans
+
+    audit(
+        "substring_spans (hash agg + equi-join, per-doc windows)",
+        substring_spans(docs),
+        required=["HashAggregate", "Window"],
+        forbidden=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    # as-of join: union-tag running-last — ONE user_id partitioning, a
+    # window, and NO join operator of any kind in the plan
+    from deepkg_spark.operators.events import asof_join
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    audit(
+        "ev_asof_join (union + per-user window, zero joins)",
+        asof_join(events),
+        required=["Window", "Union"],
+        forbidden=["Join", "CartesianProduct"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (regenerate: python -m "

@@ -104,3 +104,65 @@ def test_embedding_neardup(spark, sf_dir):
     con = duck_connect(sf_dir)
     df = embedding_neardup(emb, tau=0.8)
     compare_spark_duck(df, con, embedding_neardup_duck_sql("embeddings", tau=0.8))
+
+
+def test_substring_spans_semantics(spark):
+    """Hand-built corpus with known duplicated runs: the merged spans are
+    exactly the planted shared substrings (token indices, end exclusive)."""
+    from deepkg_spark.operators.dedup import substring_spans, substring_spans_duck_sql
+
+    rows = [
+        (1, "a b c d e f g h i j k l m"),          # shares a..j with doc 2
+        (2, "x a b c d e f g h i j z q w"),
+        (3, "p q r s t u v w"),                     # whole doc inside doc 4
+        (4, "p q r s t u v w extra tail here now"),
+        (5, "short doc"),                           # < 8 tokens: no windows
+        (6, "m m m m m m m m m m m m m m m m"),     # within-doc repetition
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in substring_spans(docs).collect()
+    }
+    assert got == {
+        (1, 0, 10, 10),   # 'a b c d e f g h i j'
+        (2, 1, 11, 10),
+        (3, 0, 8, 8),     # 'p q r s t u v w'
+        (4, 0, 8, 8),
+        (6, 0, 16, 16),   # self-repeated doc entirely flagged
+    }
+    # oracle agreement on the same tiny frame
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    oracle = {
+        tuple(r) for r in con.execute(substring_spans_duck_sql("d")).fetchall()
+    }
+    assert got == oracle
+
+
+def test_substring_spans_and_stats_oracle(spark, sf_dir):
+    """Full sf-fixture oracle comparison for both contract queries."""
+    from deepkg_spark.operators.dedup import (
+        substring_spans,
+        substring_spans_duck_sql,
+        substring_stats,
+        substring_stats_duck_sql,
+    )
+
+    docs = _docs(spark, sf_dir)
+    con = _con(sf_dir)
+    compare_spark_duck(substring_spans(docs), con, substring_spans_duck_sql("dup_docs"))
+    compare_spark_duck(substring_stats(docs), con, substring_stats_duck_sql("dup_docs"))
+    # the 20 planted full copies must be flagged end-to-end (dup_frac == 1.0
+    # for any copied doc long enough to have windows)
+    stats = {r["doc_id"]: r for r in substring_stats(docs).collect()}
+    for base in range(20):
+        twin = stats.get(100000 + base)
+        if twin is not None and twin["n_tokens"] >= 8:
+            assert twin["dup_frac"] == 1.0

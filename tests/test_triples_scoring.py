@@ -79,3 +79,26 @@ def test_offsets_point_at_surfaces(spark, sf_dir):
             assert c[r["obj_start"] : r["obj_start"] + len(r["obj"])] == r["obj"]
         if r["subj_start"] >= 0 and r["pred"] == "extends":
             assert c[r["subj_start"] : r["subj_start"] + len(r["subj"])] == r["subj"]
+
+
+def test_asof_join_oracle(spark, sf_dir):
+    """As-of join vs the identical-ordering DuckDB window plan, plus spot
+    semantics: every matched prior event is a click at-or-before the
+    purchase for the same user."""
+    from deepkg_spark.operators.events import asof_join, asof_join_duck_sql
+    from tests.compare import compare_spark_duck, duck_connect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    con = duck_connect(sf_dir)
+    compare_spark_duck(asof_join(ev), con, asof_join_duck_sql())
+    rows = asof_join(ev).collect()
+    assert rows and any(r["prior_event_id"] is not None for r in rows)
+    clicks = {
+        r["event_id"]: r
+        for r in ev.filter("event_type = 'click'").collect()
+    }
+    for r in rows:
+        if r["prior_event_id"] is not None:
+            c = clicks[r["prior_event_id"]]
+            assert c["user_id"] == r["user_id"]
+            assert r["lag_seconds"] >= 0
