@@ -108,6 +108,8 @@ from deepkg_spark.operators.curation import (
     dsir_logratio_duck_sql,
     pack_sequences,
     pack_sequences_duck_sql,
+    profile_quantiles,
+    profile_quantiles_duck_sql,
     profile_table,
     profile_table_duck_sql,
     repetition_stats,
@@ -159,6 +161,8 @@ from deepkg_spark.operators.textstats import (
     quality_score_duck_sql,
     token_counts,
     token_counts_duck_sql,
+    top_terms,
+    top_terms_duck_sql,
 )
 from deepkg_spark.operators.relations import (
     TRIPLE_COLS,
@@ -864,6 +868,21 @@ def _q_profile_lineitem(spark, sf_dir):
     )
 
 
+def _q_profile_quantiles(spark, sf_dir):
+    """Exact interpolated per-column quantiles via the cumulative-count
+    formulation (no value-buffering percentile aggregate) — the
+    distribution half of the table-validation profile."""
+    return profile_quantiles(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), num_cols=_PROFILE_NUM
+    )
+
+
+def _q_top_terms(spark, sf_dir):
+    """Corpus heavy hitters: top-20 terms by total count, TakeOrdered
+    plan (per-partition top-k, no global sort)."""
+    return top_terms(_docs(spark, sf_dir), k=20)
+
+
 def _q_unigram_lm(spark, sf_dir):
     """Unigram-LM quality score (CCNet-shape LM filter, top-V vocab + OOV floor)."""
     return unigram_logprob(_docs(spark, sf_dir), top_v=20)
@@ -1139,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": _q_substring_spans,
         "dedup_substring_stats": _q_substring_stats,
         "ev_asof_join": _q_ev_asof,
+        "profile_quantiles": _q_profile_quantiles,
+        "text_top_terms": _q_top_terms,
         # --- (b) round-3 tail: last official row r01/r02 (oracle twins /
         #     modes) or never recorded (rows-only) — fresh rows due ---
         "kg_mentions_udf": _q_mentions_udf,
@@ -1385,6 +1406,10 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
         "ev_windowed_counts": windowed_counts_duck_sql(),
         "ev_sessions": sessionize_duck_sql(),
         "ev_asof_join": asof_join_duck_sql(),
+        "profile_quantiles": profile_quantiles_duck_sql(
+            "lineitem", num_cols=_PROFILE_NUM
+        ),
+        "text_top_terms": top_terms_duck_sql("documents", k=20),
         "kg_link_gold_pairs": training_pairs_gold_duck_sql(
             bm25_duck_sql(
                 f"(SELECT DISTINCT qid, qtext FROM ({gold_queries_sql()}) gq)",

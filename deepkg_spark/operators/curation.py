@@ -621,3 +621,92 @@ FROM (SELECT col_name, val, count(*) AS c
       FROM ({' UNION ALL '.join(str_sel)}) GROUP BY col_name, val)
 GROUP BY col_name""".strip())
     return "\nUNION ALL\n".join(parts)
+
+
+# ----------------------------------------------------------- quantiles
+
+QUANTILES = (0.25, 0.5, 0.75)
+
+
+def profile_quantiles(
+    df: DataFrame, num_cols: tuple[str, ...], qs: tuple[float, ...] = QUANTILES
+) -> DataFrame:
+    """(col_name, n, q_25, q_50, q_75): exact linear-interpolated quantiles
+    per numeric column — the distribution half of the `profile_table`
+    validation stats.
+
+    Deliberately NOT Spark's `percentile()` aggregate (which buffers every
+    value of a group in executor memory — a non-starter on a 100 TB column):
+    the same cumulative-count formulation as sts_spearman_ties. One melt ->
+    (col, val) counts (partial-aggregable, skew-safe: hot values collapse
+    to one row) -> per-column cumulative counts over DISTINCT values ->
+    each quantile p reads the two bracketing values at continuous index
+    p*(n-1) and interpolates. The only windows are partitioned per column
+    over distinct values. For columns with billions of distinct values,
+    swap to approx_percentile (t-digest) — here it stays exact so the
+    DuckDB twin (same formulation) matches bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    exprs = [
+        f"struct('{_sql_quote(c)}' AS col_name, CAST({c} AS DOUBLE) AS val)"
+        for c in num_cols
+    ]
+    melted = df.selectExpr(f"explode(array({', '.join(exprs)})) AS m").select(
+        F.col("m.col_name").alias("col_name"), F.col("m.val").alias("val")
+    ).filter(F.col("val").isNotNull())
+    cnt = melted.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("col_name").orderBy("val")
+    cum = cnt.withColumn("cum", F.sum("c").over(w))
+    tot = cnt.groupBy("col_name").agg(F.sum("c").cast("bigint").alias("n"))
+    j = cum.join(tot, "col_name")
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for p in qs:
+        # continuous index k = p*(n-1); bracketing values live at row
+        # indices floor(k) and ceil(k); a value with cumulative count cum
+        # covers 0-based row indices [cum - c, cum - 1]. Per-row n feeds
+        # the aggregate ARGUMENTS; the group-level frac must re-derive n
+        # through an aggregate (max) to satisfy both engines' analyzers.
+        k = F.lit(p) * (F.col("n") - 1)
+        lo = F.min(F.when(F.col("cum") >= F.floor(k) + 1, F.col("val")))
+        hi = F.min(F.when(F.col("cum") >= F.ceil(k) + 1, F.col("val")))
+        k_g = F.lit(p) * (F.max("n") - 1)
+        frac = k_g - F.floor(k_g)
+        name = f"q_{str(p).replace('0.', '')}"
+        aggs.append(F.round(lo + frac * (hi - lo), ROUND).alias(name))
+    return j.groupBy("col_name").agg(*aggs)
+
+
+def profile_quantiles_duck_sql(
+    rel: str, num_cols: tuple[str, ...], qs: tuple[float, ...] = QUANTILES
+) -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT '{_sql_quote(c)}' AS col_name, CAST({c} AS DOUBLE) AS val FROM {rel}"
+        for c in num_cols
+    )
+    q_exprs = []
+    for p in qs:
+        name = f"q_{str(p).replace('0.', '')}"
+        q_exprs.append(
+            f"round(min(CASE WHEN cum >= floor({p} * (n - 1)) + 1 THEN val END)"
+            f" + ({p} * (max(n) - 1) - floor({p} * (max(n) - 1)))"
+            f" * (min(CASE WHEN cum >= ceil({p} * (n - 1)) + 1 THEN val END)"
+            f" - min(CASE WHEN cum >= floor({p} * (n - 1)) + 1 THEN val END)),"
+            f" {ROUND}) AS {name}"
+        )
+    return f"""
+WITH melted AS ({sels}),
+cnt AS (
+  SELECT col_name, val, count(*) AS c FROM melted
+  WHERE val IS NOT NULL GROUP BY col_name, val
+),
+cum AS (
+  SELECT col_name, val, c,
+         sum(c) OVER (PARTITION BY col_name ORDER BY val) AS cum
+  FROM cnt
+),
+tot AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY col_name)
+SELECT col_name, CAST(max(n) AS BIGINT) AS n, {', '.join(q_exprs)}
+FROM cum JOIN tot USING (col_name)
+GROUP BY col_name
+"""

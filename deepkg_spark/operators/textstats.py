@@ -256,3 +256,50 @@ SELECT doc_id, token,
        replace(array_to_string(pieces, ''), '##', '') AS merged
 FROM p
 """.strip()
+
+
+# ---------------------------------------------------------------- top terms
+
+def top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
+    """(term, tf, df): the k corpus-wide heaviest terms by total occurrence
+    count (tf), with document frequency (df), deterministic tie-break
+    (tf DESC, term ASC).
+
+    The heavy-hitters query every corpus audit starts with. Plan shape is
+    the point: orderBy(...).limit(k) compiles to TakeOrderedAndProject —
+    every partition keeps only its local top-k and the driver merges k
+    rows per partition, so no global sort ever materializes; tf/df come
+    from one partial-aggregable groupBy over (term [,doc]) pairs. At
+    100 TB the same plan holds (the only driver-side data is k rows);
+    if even the term-key groupBy skews on a mega-stopword, the key is
+    (term) with counts — one row per term, no row list.
+    """
+    occ = docs.select(
+        "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("term")
+    )
+    tf = occ.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df_ = (
+        occ.select("term", "doc_id").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    return (
+        tf.join(df_, "term")
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def top_terms_duck_sql(docs_rel: str, k: int = 100) -> str:
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest({duck_tokens('text')}) AS term FROM {docs_rel}
+),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY term),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT term, doc_id FROM occ) GROUP BY term
+)
+SELECT term, tf, df FROM tf JOIN df USING (term)
+ORDER BY tf DESC, term ASC LIMIT {k}
+"""

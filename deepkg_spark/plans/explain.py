@@ -357,6 +357,28 @@ def main() -> None:
         forbidden=["Join", "CartesianProduct"],
     )
 
+    # exact quantiles: melt -> (col,val) partial-aggregable counts -> per-
+    # column windows; NO value-buffering percentile aggregate in the plan
+    from deepkg_spark.operators.curation import profile_quantiles
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    audit(
+        "profile_quantiles (count-based, per-column windows, no percentile buffer)",
+        profile_quantiles(li, num_cols=("l_quantity", "l_extendedprice")),
+        required=["HashAggregate", "Window"],
+        forbidden=["CartesianProduct", "percentile"],
+    )
+    # heavy hitters: global top-k via TakeOrdered — per-partition top-k
+    # merge, never a global sort materialization
+    from deepkg_spark.operators.textstats import top_terms
+
+    audit(
+        "top_terms (TakeOrdered global top-k, no global sort)",
+        top_terms(docs, k=20),
+        required=["TakeOrderedAndProject"],
+        forbidden=["CartesianProduct"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (regenerate: python -m "

@@ -385,3 +385,44 @@ def test_sts_spearman_ties_distributed(spark, sf_dir):
     gold = [r[3] for r in tied_rows]
     expect = np.corrcoef(avg_ranks(cos), avg_ranks(gold))[0, 1]
     assert abs(got - round(expect, 6)) < 2e-6
+
+
+def test_profile_quantiles(spark, sf_dir):
+    """Cumulative-count quantiles vs the same-formulation DuckDB twin AND
+    vs DuckDB's native quantile_cont (independent implementation)."""
+    from deepkg_spark.operators.curation import (
+        profile_quantiles,
+        profile_quantiles_duck_sql,
+    )
+    from tests.compare import compare_spark_duck, duck_connect
+
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    con = duck_connect(sf_dir)
+    compare_spark_duck(
+        profile_quantiles(li, num_cols=cols),
+        con,
+        profile_quantiles_duck_sql("lineitem", num_cols=cols),
+    )
+    got = {r["col_name"]: r for r in profile_quantiles(li, num_cols=cols).collect()}
+    for c in cols:
+        native = con.execute(
+            f"SELECT round(quantile_cont({c}, 0.25), 6), round(quantile_cont({c}, 0.5), 6), "
+            f"round(quantile_cont({c}, 0.75), 6) FROM lineitem"
+        ).fetchone()
+        assert (got[c]["q_25"], got[c]["q_5"], got[c]["q_75"]) == native, c
+
+
+def test_top_terms(spark, sf_dir):
+    from deepkg_spark.operators.textstats import top_terms, top_terms_duck_sql
+    from tests.compare import compare_spark_duck, duck_connect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    con = duck_connect(sf_dir)
+    compare_spark_duck(top_terms(docs, k=20), con, top_terms_duck_sql("documents", k=20))
+    rows = top_terms(docs, k=20).collect()
+    assert len(rows) == 20
+    # ordering is total and deterministic; df <= tf always
+    tfs = [(r["tf"], r["term"]) for r in rows]
+    assert tfs == sorted(tfs, key=lambda t: (-t[0], t[1]))
+    assert all(r["df"] <= r["tf"] for r in rows)
