@@ -14,6 +14,9 @@ Jobs:
                 (connected components) -> parquet
     link        documents x dictionary parquet (term_id, name) -> BM25 top-N
                 candidates -> parquet
+    profile     table validation: per-column null/distinct/min-max stats +
+                exact interpolated quantiles for the numeric columns ->
+                parquet + JSON summary (the pre-ingest data-quality gate)
     curate      end-to-end training-data curation: quality + repetition
                 gates -> near-dup collapse (LSH pairs -> connected
                 components, keep min doc_id) -> eval-set n-gram
@@ -31,7 +34,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="deepkg_spark job runner")
     ap.add_argument(
         "--job",
-        choices=["triples", "graph", "incremental", "dedup", "link", "curate"],
+        choices=["triples", "graph", "incremental", "dedup", "link", "curate",
+                 "profile"],
         required=True,
     )
     ap.add_argument("--sf-dir", required=True)
@@ -53,6 +57,8 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=512, help="curate: tokens per bin")
     ap.add_argument("--shard-size", type=int, default=1000,
                     help="curate: docs per packing shard")
+    ap.add_argument("--table", default=None,
+                    help="profile: table name under --sf-dir (default lineitem)")
     args = ap.parse_args()
 
     # imports resolve from --py-files on executors and driver alike
@@ -89,6 +95,27 @@ def main() -> None:
             spark.read.parquet(f"{args.out}/clusters").select("component").distinct().count()
         )
         print(json.dumps({"job": "dedup", "pairs": n_pairs, "clusters": n_clusters}))
+        spark.stop()
+        return
+
+    if args.job == "profile":
+        from deepkg_spark.operators.curation import profile_quantiles, profile_table
+
+        table = args.table or "lineitem"
+        df = spark.read.parquet(f"{args.sf_dir}/{table}.parquet")
+        kinds = dict(df.dtypes)
+        num = tuple(c for c, t in kinds.items()
+                    if t in ("bigint", "int", "double", "float", "decimal"))
+        ts = tuple(c for c, t in kinds.items() if t.startswith("timestamp"))
+        strc = tuple(c for c, t in kinds.items() if t == "string")
+        prof = profile_table(df, num_cols=num, str_cols=strc, ts_cols=ts)
+        prof.write.mode("overwrite").parquet(f"{args.out}/profile")
+        if num:
+            q = profile_quantiles(df, num_cols=num)
+            q.write.mode("overwrite").parquet(f"{args.out}/quantiles")
+        n_cols = spark.read.parquet(f"{args.out}/profile").count()
+        print(json.dumps({"job": "profile", "table": table, "columns": n_cols,
+                          "num_cols": len(num)}))
         spark.stop()
         return
 

@@ -95,3 +95,33 @@ def test_spark_submit_curate_job(sf_dir):
             >= res["after_decontaminate"] >= res["after_sample"] > 0
         )
         assert 0 < res["bins"] <= res["after_sample"]
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_profile_job(sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", "/root/repo", "deepkg_spark")
+        out = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--py-files", zip_path,
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=2",
+                "/root/repo/deepkg_spark/cli.py",
+                "--job", "profile",
+                "--sf-dir", sf_dir,
+                "--out", f"{tmp}/out",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        payload = [l for l in out.stdout.splitlines() if l.startswith('{"job"')]
+        res = json.loads(payload[-1])
+        assert res["columns"] == 11 and res["num_cols"] == 8
+        import duckdb
+
+        q = duckdb.connect().execute(
+            f"SELECT count(*) FROM '{tmp}/out/quantiles/*.parquet'"
+        ).fetchone()[0]
+        assert q == 8
