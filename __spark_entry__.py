@@ -72,6 +72,8 @@ from deepkg_spark.operators.dedup import (
     simhash_duck_sql,
     simhash_pairs,
     simhash_pairs_duck_sql,
+    substring_clean,
+    substring_clean_duck_sql,
     substring_spans,
     substring_spans_duck_sql,
     substring_stats,
@@ -522,6 +524,12 @@ def _q_substring_spans(spark, sf_dir):
 
 def _q_substring_stats(spark, sf_dir):
     return substring_stats(_dup_docs(spark, sf_dir))
+
+
+def _q_substring_clean(spark, sf_dir):
+    """The actionable ExactSubstr transform: re-emit every doc with all
+    duplicated >= w-token spans removed (both copies, the paper's policy)."""
+    return substring_clean(_dup_docs(spark, sf_dir))
 
 
 def _q_simhash(spark, sf_dir):
@@ -1158,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": _q_substring_spans,
         "dedup_substring_stats": _q_substring_stats,
         "ev_asof_join": _q_ev_asof,
+        "dedup_substring_clean": _q_substring_clean,
         "profile_quantiles": _q_profile_quantiles,
         "text_top_terms": _q_top_terms,
         # --- (b) round-3 tail: last official row r01/r02 (oracle twins /
@@ -1290,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_substring_spans": _with_dup(substring_spans_duck_sql),
         "dedup_substring_stats": _with_dup(substring_stats_duck_sql),
+        "dedup_substring_clean": _with_dup(substring_clean_duck_sql),
         "dedup_simhash": _with_dup(simhash_duck_sql),
         "dedup_simhash_pairs": _with_dup(simhash_pairs_duck_sql, max_hamming=3),
         "dedup_jaccard": _merge_cte(

@@ -626,3 +626,92 @@ SELECT doc_id, n_tokens,
              / greatest(n_tokens, 1), {ROUND}) AS dup_frac
 FROM counts LEFT JOIN per_doc USING (doc_id)
 """
+
+
+def substring_clean(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, kept_tokens): documents with every
+    duplicated span removed — the actionable transform of the Lee et al.
+    ExactSubstr pipeline (the paper's simplest policy: drop BOTH copies of
+    any >= w-token substring that occurs twice in the corpus).
+
+    tokens posexplode -> equi-join on doc_id against the doc's merged spans
+    with a range predicate (pos in [span_start, span_end)) -> surviving
+    tokens re-assembled in position order (array_sort of (pos, tok)
+    structs; no order-sensitive aggregate). The span join is equi on
+    doc_id: each doc meets only its own few spans, so no range-join blowup.
+    Docs with no duplicated spans pass through unchanged.
+    """
+    spans = substring_spans(docs, w=w)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(spark_tokens("text"))).alias("pos", "tok"),
+    )
+    marked = (
+        toks.join(spans, "doc_id", "left")
+        .withColumn(
+            "in_span",
+            F.when(
+                (F.col("span_start").isNotNull())
+                & (F.col("pos") >= F.col("span_start"))
+                & (F.col("pos") < F.col("span_end")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.max("in_span").alias("dropped"), F.first("tok").alias("tok"))
+    )
+    kept = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.lit(1) - F.col("dropped")).cast("bigint").alias("kept_tokens"),
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(CASE WHEN dropped = 0 THEN struct(pos, tok) END)"
+                "), s -> s.tok))"
+            ).alias("clean_text"),
+        )
+    )
+    # zero-token docs never reach the explode; re-attach with empty text
+    return (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+def substring_clean_duck_sql(docs_rel: str, w: int = SUBSTR_W) -> str:
+    return f"""
+WITH spans AS ({substring_spans_duck_sql(docs_rel, w)}),
+toks AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS tok
+  FROM (SELECT doc_id, {duck_tokens('text')} AS t FROM {docs_rel}),
+       unnest(range(len(t))) AS u(i)
+),
+marked AS (
+  SELECT t.doc_id, t.pos, any_value(t.tok) AS tok,
+         max(CASE WHEN s.span_start IS NOT NULL
+                       AND t.pos >= s.span_start
+                       AND t.pos < s.span_end THEN 1 ELSE 0 END) AS dropped
+  FROM toks t LEFT JOIN spans s ON t.doc_id = s.doc_id
+  GROUP BY t.doc_id, t.pos
+),
+kept AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(1 - dropped) AS BIGINT) AS kept_tokens,
+         coalesce(string_agg(CASE WHEN dropped = 0 THEN tok END, ' '
+                             ORDER BY pos), '') AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id,
+       coalesce(clean_text, '') AS clean_text,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM (SELECT doc_id FROM {docs_rel}) LEFT JOIN kept USING (doc_id)
+"""

@@ -368,6 +368,16 @@ def main() -> None:
         required=["HashAggregate", "Window"],
         forbidden=["CartesianProduct", "percentile"],
     )
+    # ExactSubstr clean: tokens equi-join their doc's spans (range pred on
+    # an equi key, never a cross product), position-sorted reassembly
+    from deepkg_spark.operators.dedup import substring_clean
+
+    audit(
+        "substring_clean (doc_id equi-join + sorted reassembly, no cross product)",
+        substring_clean(docs),
+        required=["HashAggregate"],
+        forbidden=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
     # heavy hitters: global top-k via TakeOrdered — per-partition top-k
     # merge, never a global sort materialization
     from deepkg_spark.operators.textstats import top_terms

@@ -166,3 +166,28 @@ def test_substring_spans_and_stats_oracle(spark, sf_dir):
         twin = stats.get(100000 + base)
         if twin is not None and twin["n_tokens"] >= 8:
             assert twin["dup_frac"] == 1.0
+
+
+def test_substring_clean(spark, sf_dir):
+    """Clean transform vs oracle + policy semantics: a doc fully inside
+    another loses everything; unique docs pass through verbatim."""
+    from deepkg_spark.operators.dedup import substring_clean, substring_clean_duck_sql
+
+    rows = [
+        (1, "a b c d e f g h i j k l m"),
+        (2, "x a b c d e f g h i j z q w"),
+        (3, "p q r s t u v w"),
+        (4, "p q r s t u v w extra tail here now"),
+        (5, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in substring_clean(docs).collect()}
+    assert got[1]["clean_text"] == "k l m"
+    assert got[2]["clean_text"] == "x z q w"
+    assert got[3]["clean_text"] == "" and got[3]["kept_tokens"] == 0
+    assert got[4]["clean_text"] == "extra tail here now"
+    assert got[5]["clean_text"] == "short doc" and got[5]["kept_tokens"] == 2
+    # fixture-scale oracle comparison
+    dup = _docs(spark, sf_dir)
+    con = _con(sf_dir)
+    compare_spark_duck(substring_clean(dup), con, substring_clean_duck_sql("dup_docs"))
