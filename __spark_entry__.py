@@ -144,6 +144,8 @@ from deepkg_spark.operators.sel import (
 from deepkg_spark.operators.similarity import (
     ivf_topk,
     ivf_topk_duck_sql,
+    pq_codes,
+    pq_codes_duck_sql,
     recall_frame,
     rp_lsh_topk,
     rp_lsh_topk_duck_sql,
@@ -584,6 +586,15 @@ def _q_ann_ivf(spark, sf_dir):
     quantizer, nprobe cell search, window top-k."""
     q, c = _ann_frames(spark, sf_dir)
     return ivf_topk(q, c, k=5, dim=64)
+
+
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization code assignment: 8 sub-codebooks of 16 pinned
+    centroids, argmin-L2 per subvector, per-vector reconstruction MSE —
+    one narrow projection, zero shuffle."""
+    return pq_codes(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), dim=64
+    )
 
 
 def _q_ann_ivf_recall(spark, sf_dir):
@@ -1167,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_stats": _q_substring_stats,
         "ev_asof_join": _q_ev_asof,
         "dedup_substring_clean": _q_substring_clean,
+        "ann_pq_codes": _q_ann_pq,
         "profile_quantiles": _q_profile_quantiles,
         "text_top_terms": _q_top_terms,
         # --- (b) round-3 tail: last official row r01/r02 (oracle twins /
@@ -1310,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": rp_lsh_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
         "ann_ivf_topk": ivf_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
+        "ann_pq_codes": pq_codes_duck_sql("embeddings", dim=64),
         "ann_ivf_recall": f"""
 WITH approx AS ({ivf_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', dim=64, k=5)}),
 exact AS ({dense_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', k=5)}),

@@ -427,3 +427,121 @@ SELECT qid, cid, score, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------- PQ codes
+
+PQ_M = 8     # subspaces
+PQ_KS = 16   # centroids per subspace
+
+
+def _pq_cents(dim: int, m: int = PQ_M, ks: int = PQ_KS, seed: int = SEED + 2) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((m, ks, dim // m)).round(6)
+
+
+def _pq_sub_expr(vec_col: str, cents_s: np.ndarray, s: int, sub: int, engine: str) -> str:
+    """One subspace's (code, err) struct: argmin-L2 centroid via the
+    dot - ||c||^2/2 trick (||x||^2 is constant within a subvector, so the
+    max of that score IS the min distance; strict > keeps the smallest j on
+    ties in both engines), err = ||x||^2 - 2*dot + ||c||^2."""
+    lo = s * sub + 1
+    if engine == "spark":
+        sv = f"slice({vec_col}, {lo}, {sub})"
+        xx = (
+            f"aggregate({sv}, CAST(0.0 AS DOUBLE), "
+            f"(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        items = []
+        for j, c in enumerate(cents_s):
+            arr = ", ".join(f"{x!r}" for x in c.tolist())
+            cc = round(float((c * c).sum()), 12)
+            dot = (
+                f"aggregate(zip_with({sv}, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            items.append(
+                f"named_struct('sc', {dot} - CAST({cc!r} AS DOUBLE) / 2, "
+                f"'j', {j}, 'dt', {dot}, 'cc', CAST({cc!r} AS DOUBLE))"
+            )
+        fold = (
+            f"aggregate(array({', '.join(items)}), "
+            f"named_struct('sc', CAST(-1e308 AS DOUBLE), 'j', -1, "
+            f"'dt', CAST(0.0 AS DOUBLE), 'cc', CAST(0.0 AS DOUBLE)), "
+            f"(a, x) -> IF(x.sc > a.sc, x, a))"
+        )
+        return (
+            f"named_struct('j', ({fold}).j, "
+            f"'err', {xx} - 2 * ({fold}).dt + ({fold}).cc)"
+        )
+    sv = f"list_slice({vec_col}::DOUBLE[], {lo}, {lo + sub - 1})"
+    xx = f"list_dot_product({sv}, {sv})"
+    items = []
+    for j, c in enumerate(cents_s):
+        arr = ", ".join(f"{x!r}" for x in c.tolist())
+        cc = round(float((c * c).sum()), 12)
+        dot = f"list_dot_product({sv}, [{arr}])"
+        items.append(
+            f"struct_pack(sc := {dot} - {cc!r} / 2, j := {j}, "
+            f"dt := {dot}, cc := {cc!r})"
+        )
+    fold = (
+        f"list_reduce([{', '.join(items)}], "
+        f"(a, x) -> CASE WHEN x.sc > a.sc THEN x ELSE a END)"
+    )
+    return (
+        f"struct_pack(j := ({fold}).j, "
+        f"err := {xx} - 2 * ({fold}).dt + ({fold}).cc)"
+    )
+
+
+def pq_codes(
+    emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS, dim: int | None = None
+) -> DataFrame:
+    """(vec_id, codes, mse): product-quantization code assignment — the
+    memory-compression leg of the ANN family (flat -> rp-LSH -> IVF -> PQ).
+    A 64-dim float vector becomes m=8 4-bit-able codes (64x smaller), the
+    representation a 100 TB vector corpus actually stores; mse is the mean
+    squared reconstruction error (the quantization-quality signal).
+
+    Codebooks are pinned-seed plan literals like the IVF centroids, so
+    codes are identical across engines and cluster sizes. The whole
+    operator is ONE narrow projection — zero shuffle, zero joins; at any
+    corpus size it is a map over the scan. codes is the comma-joined code
+    string (engine-portable rendering of the tiny int array).
+    """
+    if dim is None:
+        dim = len(emb.select("embedding").head()[0])
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+    cents = _pq_cents(dim, m, ks)
+    cols = [
+        F.expr(_pq_sub_expr("embedding", cents[s], s, sub, "spark")).alias(f"s{s}")
+        for s in range(m)
+    ]
+    t = emb.select("vec_id", *cols)
+    codes = F.concat_ws(",", *[F.col(f"s{s}.j").cast("string") for s in range(m)])
+    mse = F.round(
+        sum(F.col(f"s{s}.err") for s in range(m)) / F.lit(float(dim)), ROUND
+    )
+    return t.select("vec_id", codes.alias("codes"), mse.alias("mse"))
+
+
+def pq_codes_duck_sql(
+    emb_rel: str, m: int = PQ_M, ks: int = PQ_KS, dim: int = 64
+) -> str:
+    assert dim % m == 0
+    sub = dim // m
+    cents = _pq_cents(dim, m, ks)
+    sexprs = ", ".join(
+        f"{_pq_sub_expr('embedding', cents[s], s, sub, 'duck')} AS s{s}"
+        for s in range(m)
+    )
+    codes = " || ',' || ".join(f"CAST(s{s}.j AS VARCHAR)" for s in range(m))
+    err = " + ".join(f"s{s}.err" for s in range(m))
+    return f"""
+WITH t AS (SELECT vec_id, {sexprs} FROM {emb_rel})
+SELECT vec_id, {codes} AS codes,
+       round(({err}) / {float(dim)!r}, {ROUND}) AS mse
+FROM t
+"""

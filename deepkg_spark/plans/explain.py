@@ -389,6 +389,16 @@ def main() -> None:
         forbidden=["CartesianProduct"],
     )
 
+    # PQ codes: one narrow projection — ZERO exchanges of any kind
+    from deepkg_spark.operators.similarity import pq_codes
+
+    audit(
+        "ann_pq_codes (single narrow projection, zero shuffle)",
+        pq_codes(emb_full, dim=64),
+        required=["Project"],
+        forbidden=["Exchange", "Join"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (regenerate: python -m "

@@ -88,3 +88,33 @@ def test_rp_lsh_recall_and_self_hit(spark, sf_dir):
     assert self_hits == q.count()
     r = recall_at_k(approx, exact, k=5)
     assert 0.2 <= r <= 1.0  # approximate, but deterministic given pinned planes
+
+
+def test_pq_codes(spark, sf_dir):
+    """PQ code assignment vs oracle + reconstruction-quality sanity: the
+    per-vector MSE equals the numpy-computed distance to the chosen
+    sub-centroids, and codes always pick the argmin-L2 centroid."""
+    import numpy as np
+
+    from deepkg_spark.operators.similarity import _pq_cents, pq_codes, pq_codes_duck_sql
+    from tests.compare import compare_spark_duck, duck_connect
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duck_connect(sf_dir)
+    compare_spark_duck(pq_codes(emb, dim=64), con, pq_codes_duck_sql("embeddings", dim=64))
+
+    cents = _pq_cents(64)
+    rows = emb.limit(20).collect()
+    got = {r["vec_id"]: r for r in pq_codes(emb.limit(20), dim=64).collect()}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        codes, err = [], 0.0
+        for s in range(8):
+            sv = v[s * 8 : (s + 1) * 8]
+            d2 = ((cents[s] - sv) ** 2).sum(axis=1)
+            j = int(np.argmin(d2))
+            codes.append(str(j))
+            err += float(d2[j])
+        g = got[r["vec_id"]]
+        assert g["codes"] == ",".join(codes), r["vec_id"]
+        assert abs(g["mse"] - round(err / 64.0, 6)) <= 2e-6
