@@ -104,10 +104,15 @@ def main() -> None:
         table = args.table or "lineitem"
         df = spark.read.parquet(f"{args.sf_dir}/{table}.parquet")
         kinds = dict(df.dtypes)
+        # Spark renders decimals as decimal(p,s); dates have no timestamp
+        # prefix — both must still land in the numeric/ts stats legs.
         num = tuple(c for c, t in kinds.items()
-                    if t in ("bigint", "int", "double", "float", "decimal"))
-        ts = tuple(c for c, t in kinds.items() if t.startswith("timestamp"))
+                    if t in ("bigint", "int", "smallint", "tinyint", "double",
+                             "float") or t.startswith("decimal"))
+        ts = tuple(c for c, t in kinds.items()
+                   if t.startswith("timestamp") or t == "date")
         strc = tuple(c for c, t in kinds.items() if t == "string")
+        skipped = sorted(set(kinds) - set(num) - set(ts) - set(strc))
         prof = profile_table(df, num_cols=num, str_cols=strc, ts_cols=ts)
         prof.write.mode("overwrite").parquet(f"{args.out}/profile")
         if num:
@@ -115,7 +120,7 @@ def main() -> None:
             q.write.mode("overwrite").parquet(f"{args.out}/quantiles")
         n_cols = spark.read.parquet(f"{args.out}/profile").count()
         print(json.dumps({"job": "profile", "table": table, "columns": n_cols,
-                          "num_cols": len(num)}))
+                          "num_cols": len(num), "skipped_cols": skipped}))
         spark.stop()
         return
 

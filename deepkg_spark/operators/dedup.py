@@ -49,7 +49,9 @@ BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
 SHINGLE_N = 3
 COEFFS = minhash_coeffs(NUM_PERM, seed=1234)
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60          # md5-prefix h60: the widest clean portable hash
+SIMHASH_BAND_BITS = 15     # 4 bands x 15 bits -> 32,768 keys per band
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 ROUND = 6
 
 
@@ -209,18 +211,20 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {ROUND}) >= {tau}
 # ---------------------------------------------------------------- simhash
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash bigint): 32-bit SimHash over whitespace tokens.
+    """(doc_id, simhash bigint): 60-bit SimHash over whitespace tokens
+    (Manku et al. 2007 shape; 60 = the widest md5-prefix hash that stays in
+    positive BIGINT territory in both engines, vs the paper's 64).
 
     Token weight = term frequency; bit b of the signature is 1 iff the
-    weighted sum of (+w if bit b of h32(token) else -w) is positive.
-    One groupBy with 32 conditional-sum aggregates — a single shuffle of
+    weighted sum of (+w if bit b of h60(token) else -w) is positive.
+    One groupBy with 60 conditional-sum aggregates — a single shuffle of
     (doc_id, token, count), never the raw text.
     """
     tf = (
         docs.select("doc_id", F.explode(F.expr(spark_tokens("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.expr(spark_h32("tok")))
+        .withColumn("h", F.expr(spark_h60("tok")))
     )
     sums = tf.groupBy("doc_id").agg(
         *[
@@ -251,20 +255,33 @@ WITH tf AS (
   SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w
   FROM (SELECT doc_id, unnest({duck_tokens('text')}) AS tok FROM {docs_rel})
   GROUP BY doc_id, tok
-), h AS (SELECT doc_id, {duck_h32('tok')} AS h, w FROM tf),
+), h AS (SELECT doc_id, {duck_h60('tok')} AS h, w FROM tf),
 sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, {bit_terms} AS simhash FROM sums
 """.strip()
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(doc_a, doc_b, hamming): pairs within hamming distance, via byte-band
-    LSH (a pair within distance 3 of 32 bits agrees on >= 1 of 4 bytes) +
-    bit_count(xor) verification."""
+    """(doc_a, doc_b, hamming): pairs within hamming distance, via 15-bit
+    band LSH (pigeonhole: a pair within distance 3 of 60 bits agrees on
+    >= 1 of the 4 bands) + bit_count(xor) verification.
+
+    Scale audit (the round-4 weakness this replaces): byte bands over a
+    32-bit signature give only 256 keys/band, so bucket population grows as
+    N/256 and the band self-join emits O(N^2/256) candidates. 15-bit bands
+    give 32,768 keys/band — expected bucket size N/32768 and ~128x fewer
+    candidate pairs at the same N; candidate work stays O(N^2/32768) per
+    band, the Manku et al. banded-table scheme (4 tables, 15-bit prefixes).
+    """
+    assert max_hamming < SIMHASH_BANDS, (
+        f"{SIMHASH_BANDS} bands only guarantee recall for hamming <= "
+        f"{SIMHASH_BANDS - 1}"
+    )
     sig = simhash(docs).persist()
     band_structs = ", ".join(
-        f"struct({b} AS band_id, shiftright(simhash, {b * 8}) & 255 AS band_key)"
-        for b in range(4)
+        f"struct({b} AS band_id, shiftright(simhash, {b * SIMHASH_BAND_BITS}) "
+        f"& {(1 << SIMHASH_BAND_BITS) - 1} AS band_key)"
+        for b in range(SIMHASH_BANDS)
     )
     bands = sig.select(
         "doc_id", "simhash", F.explode(F.expr(f"array({band_structs})")).alias("b")
@@ -291,8 +308,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def simhash_pairs_duck_sql(docs_rel: str, max_hamming: int = 3) -> str:
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band_id, (simhash >> {b * 8}) & 255 AS band_key FROM sig"
-        for b in range(4)
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} "
+        f"AS band_key FROM sig"
+        for b in range(SIMHASH_BANDS)
     )
     return f"""
 WITH sig AS ({simhash_duck_sql(docs_rel)}),
@@ -529,6 +548,10 @@ def substring_spans(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
         )
         .select("doc_id", "o.pos", F.expr(spark_h60("o.gram")).alias("gh"))
     )
+    # win feeds both the occurrence count and the join back: persist it, or
+    # the tokenize + window-explode (the most expensive narrow stage of the
+    # query) runs twice — same discipline as minhash_lsh_pairs above
+    win = win.persist()
     dup_gh = win.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     dup = win.join(dup_gh.select("gh"), "gh").select("doc_id", "pos")
     per_doc = Window.partitionBy("doc_id").orderBy("pos")

@@ -30,6 +30,18 @@ DEFAULT_NBITS = 8
 SEED = 1234
 
 
+def _infer_dim(df: DataFrame, col: str) -> int:
+    """Embedding dimensionality from the first row, with a clear error on an
+    empty frame (head() returns None there). Callers can pass dim explicitly
+    to skip this extra action."""
+    row = df.select(col).head()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim: '{col}' has no rows — pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def _hyperplanes(dim: int, nbits: int = DEFAULT_NBITS, seed: int = SEED) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((nbits, dim)).round(6)  # rounded -> exact literals
@@ -60,7 +72,7 @@ def rp_lsh_topk(
 ) -> DataFrame:
     """(qid, cid, score, rank): top-k by inner product within the LSH bucket."""
     if dim is None:
-        dim = len(queries.select("qvec").head()[0])
+        dim = _infer_dim(queries, "qvec")
     planes = _hyperplanes(dim, nbits)
     qb = queries.withColumn("bucket", F.expr(_bucket_expr("qvec", planes, "spark")))
     cb = candidates.withColumn("bucket", F.expr(_bucket_expr("cvec", planes, "spark")))
@@ -358,7 +370,7 @@ def ivf_topk(
     brute-force pair work. Recall vs the exact ranking is measured the same
     way as rp_lsh (ann_recall shape)."""
     if dim is None:
-        dim = len(queries.select("qvec").head()[0])
+        dim = _infer_dim(queries, "qvec")
     cents = _centroids(dim, n_cells)
     cand = candidates.withColumn(
         "cell", F.expr(_argmax_cell_expr(_cell_dots_expr("cvec", cents, "spark"), "spark"))
@@ -440,11 +452,15 @@ def _pq_cents(dim: int, m: int = PQ_M, ks: int = PQ_KS, seed: int = SEED + 2) ->
     return rng.standard_normal((m, ks, dim // m)).round(6)
 
 
-def _pq_sub_expr(vec_col: str, cents_s: np.ndarray, s: int, sub: int, engine: str) -> str:
-    """One subspace's (code, err) struct: argmin-L2 centroid via the
-    dot - ||c||^2/2 trick (||x||^2 is constant within a subvector, so the
-    max of that score IS the min distance; strict > keeps the smallest j on
-    ties in both engines), err = ||x||^2 - 2*dot + ||c||^2."""
+def _pq_fold_expr(vec_col: str, cents_s: np.ndarray, s: int, sub: int, engine: str) -> str:
+    """One subspace's argmin-L2 fold struct (sc, j, dt, cc, xx): nearest
+    centroid via the dot - ||c||^2/2 trick (||x||^2 is constant within a
+    subvector, so the max of that score IS the min distance; strict > keeps
+    the smallest j on ties in both engines). Emitted ONCE into an
+    intermediate projected column — the (code, err) projection reads the
+    struct fields instead of re-inlining the 16-centroid fold (which would
+    triple an already large generated expression and risk codegen-size
+    fallback at larger dim/ks)."""
     lo = s * sub + 1
     if engine == "spark":
         sv = f"slice({vec_col}, {lo}, {sub})"
@@ -470,10 +486,7 @@ def _pq_sub_expr(vec_col: str, cents_s: np.ndarray, s: int, sub: int, engine: st
             f"'dt', CAST(0.0 AS DOUBLE), 'cc', CAST(0.0 AS DOUBLE)), "
             f"(a, x) -> IF(x.sc > a.sc, x, a))"
         )
-        return (
-            f"named_struct('j', ({fold}).j, "
-            f"'err', {xx} - 2 * ({fold}).dt + ({fold}).cc)"
-        )
+        return f"named_struct('f', {fold}, 'xx', {xx})"
     sv = f"list_slice({vec_col}::DOUBLE[], {lo}, {lo + sub - 1})"
     xx = f"list_dot_product({sv}, {sv})"
     items = []
@@ -489,10 +502,7 @@ def _pq_sub_expr(vec_col: str, cents_s: np.ndarray, s: int, sub: int, engine: st
         f"list_reduce([{', '.join(items)}], "
         f"(a, x) -> CASE WHEN x.sc > a.sc THEN x ELSE a END)"
     )
-    return (
-        f"struct_pack(j := ({fold}).j, "
-        f"err := {xx} - 2 * ({fold}).dt + ({fold}).cc)"
-    )
+    return f"struct_pack(f := {fold}, xx := {xx})"
 
 
 def pq_codes(
@@ -511,18 +521,24 @@ def pq_codes(
     string (engine-portable rendering of the tiny int array).
     """
     if dim is None:
-        dim = len(emb.select("embedding").head()[0])
+        dim = _infer_dim(emb, "embedding")
     assert dim % m == 0, (dim, m)
     sub = dim // m
     cents = _pq_cents(dim, m, ks)
     cols = [
-        F.expr(_pq_sub_expr("embedding", cents[s], s, sub, "spark")).alias(f"s{s}")
+        F.expr(_pq_fold_expr("embedding", cents[s], s, sub, "spark")).alias(f"s{s}")
         for s in range(m)
     ]
     t = emb.select("vec_id", *cols)
-    codes = F.concat_ws(",", *[F.col(f"s{s}.j").cast("string") for s in range(m)])
+    codes = F.concat_ws(",", *[F.col(f"s{s}.f.j").cast("string") for s in range(m)])
+    # err_s = ||x||^2 - 2*dot + ||c||^2, read from the per-subspace fold column
     mse = F.round(
-        sum(F.col(f"s{s}.err") for s in range(m)) / F.lit(float(dim)), ROUND
+        sum(
+            F.col(f"s{s}.xx") - 2 * F.col(f"s{s}.f.dt") + F.col(f"s{s}.f.cc")
+            for s in range(m)
+        )
+        / F.lit(float(dim)),
+        ROUND,
     )
     return t.select("vec_id", codes.alias("codes"), mse.alias("mse"))
 
@@ -534,14 +550,14 @@ def pq_codes_duck_sql(
     sub = dim // m
     cents = _pq_cents(dim, m, ks)
     sexprs = ", ".join(
-        f"{_pq_sub_expr('embedding', cents[s], s, sub, 'duck')} AS s{s}"
+        f"{_pq_fold_expr('embedding', cents[s], s, sub, 'duck')} AS s{s}"
         for s in range(m)
     )
-    codes = " || ',' || ".join(f"CAST(s{s}.j AS VARCHAR)" for s in range(m))
-    err = " + ".join(f"s{s}.err" for s in range(m))
+    codes = " || ',' || ".join(f"CAST(s{s}.f.j AS VARCHAR)" for s in range(m))
+    err = " + ".join(f"(s{s}.xx - 2 * s{s}.f.dt + s{s}.f.cc)" for s in range(m))
     return f"""
 WITH t AS (SELECT vec_id, {sexprs} FROM {emb_rel})
 SELECT vec_id, {codes} AS codes,
-       round(({err}) / {float(dim)!r}, {ROUND}) AS mse
+       round((0.0 + {err}) / {float(dim)!r}, {ROUND}) AS mse
 FROM t
 """

@@ -13,7 +13,7 @@ import tempfile
 
 SCRIPT = r"""
 import json, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from deepkg_spark.sources.io import write_bucketed

@@ -14,7 +14,7 @@ import time
 
 CHILD = r"""
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 from deepkg_spark.checkpoint import run_incremental
 from deepkg_spark.operators.relations import triples_frame
 from deepkg_spark.session import get_spark

@@ -1,6 +1,7 @@
 """Deployability: the packaged engine runs via spark-submit --py-files."""
 
 import json
+import pathlib
 import shutil
 import subprocess
 import tempfile
@@ -8,12 +9,14 @@ import tempfile
 import pytest
 
 SPARK_SUBMIT = shutil.which("spark-submit")
+REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+CLI_PATH = f"{REPO_ROOT}/deepkg_spark/cli.py"
 
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_py_files(sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
-        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", "/root/repo", "deepkg_spark")
+        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", REPO_ROOT, "deepkg_spark")
         out = subprocess.run(
             [
                 SPARK_SUBMIT,
@@ -21,7 +24,7 @@ def test_spark_submit_py_files(sf_dir):
                 "--py-files", zip_path,
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.shuffle.partitions=2",
-                "/root/repo/deepkg_spark/cli.py",
+                CLI_PATH,
                 "--job", "graph",
                 "--sf-dir", sf_dir,
                 "--out", f"{tmp}/out",
@@ -38,7 +41,7 @@ def test_spark_submit_py_files(sf_dir):
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_dedup_and_link_jobs(sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
-        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", "/root/repo", "deepkg_spark")
+        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", REPO_ROOT, "deepkg_spark")
 
         def run(job, extra=()):
             out = subprocess.run(
@@ -48,7 +51,7 @@ def test_spark_submit_dedup_and_link_jobs(sf_dir):
                     "--py-files", zip_path,
                     "--conf", "spark.ui.enabled=false",
                     "--conf", "spark.sql.shuffle.partitions=2",
-                    "/root/repo/deepkg_spark/cli.py",
+                    CLI_PATH,
                     "--job", job,
                     "--sf-dir", sf_dir,
                     "--out", f"{tmp}/{job}",
@@ -69,7 +72,7 @@ def test_spark_submit_dedup_and_link_jobs(sf_dir):
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_curate_job(sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
-        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", "/root/repo", "deepkg_spark")
+        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", REPO_ROOT, "deepkg_spark")
         out = subprocess.run(
             [
                 SPARK_SUBMIT,
@@ -77,7 +80,7 @@ def test_spark_submit_curate_job(sf_dir):
                 "--py-files", zip_path,
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.shuffle.partitions=2",
-                "/root/repo/deepkg_spark/cli.py",
+                CLI_PATH,
                 "--job", "curate",
                 "--sf-dir", sf_dir,
                 "--out", f"{tmp}/curate",
@@ -100,7 +103,7 @@ def test_spark_submit_curate_job(sf_dir):
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_profile_job(sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
-        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", "/root/repo", "deepkg_spark")
+        zip_path = shutil.make_archive(f"{tmp}/deepkg_spark", "zip", REPO_ROOT, "deepkg_spark")
         out = subprocess.run(
             [
                 SPARK_SUBMIT,
@@ -108,7 +111,7 @@ def test_spark_submit_profile_job(sf_dir):
                 "--py-files", zip_path,
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.shuffle.partitions=2",
-                "/root/repo/deepkg_spark/cli.py",
+                CLI_PATH,
                 "--job", "profile",
                 "--sf-dir", sf_dir,
                 "--out", f"{tmp}/out",
