@@ -142,6 +142,8 @@ from deepkg_spark.operators.sel import (
     ssi_prefix_duck_sql,
 )
 from deepkg_spark.operators.similarity import (
+    ivf_pq_topk,
+    ivf_pq_topk_duck_sql,
     ivf_topk,
     ivf_topk_duck_sql,
     pq_codes,
@@ -601,6 +603,23 @@ def _q_ann_ivf_recall(spark, sf_dir):
     """recall@5 of the IVF search vs exact ranking."""
     q, c = _ann_frames(spark, sf_dir)
     return recall_frame(ivf_topk(q, c, k=5, dim=64), dense_topk_frame(q, c, k=5), 5)
+
+
+def _q_ann_ivf_pq(spark, sf_dir):
+    """Compressed ANN search: IVF coarse cells + asymmetric distance over
+    PQ codes (the composed faiss index+search, simcse_unsup.py:44-76) —
+    candidates shuffle as 8 codes + a cell id, never as float vectors."""
+    q, c = _ann_frames(spark, sf_dir)
+    return ivf_pq_topk(q, c, k=5, dim=64)
+
+
+def _q_ann_ivf_pq_recall(spark, sf_dir):
+    """recall@5 of the compressed (IVF+PQ ADC) search vs the exact
+    inner-product ranking (embeddings are unit-norm, so L2 and IP rankings
+    coincide up to quantization error — the number reported is the cost of
+    the compression)."""
+    q, c = _ann_frames(spark, sf_dir)
+    return recall_frame(ivf_pq_topk(q, c, k=5, dim=64), dense_topk_frame(q, c, k=5), 5)
 
 
 _ANN_Q = "SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 10 = 0"
@@ -1171,6 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each round's window; scripts/verify_contract.py still sweeps ALL
     entries every run regardless of position."""
     return {
+        # --- (a) new round-5 oracle queries ---
+        "ann_ivf_pq": _q_ann_ivf_pq,
+        "ann_ivf_pq_recall": _q_ann_ivf_pq_recall,
         # --- (a) new round-4 oracle queries ---
         "kg_triples_offsets_closest": _q_triples_offsets_closest,
         "kg_events_closest": _q_events_closest,
@@ -1323,6 +1345,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": rp_lsh_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
         "ann_ivf_topk": ivf_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
         "ann_pq_codes": pq_codes_duck_sql("embeddings", dim=64),
+        "ann_ivf_pq": ivf_pq_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
+        "ann_ivf_pq_recall": f"""
+WITH approx AS ({ivf_pq_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', dim=64, k=5)}),
+exact AS ({dense_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', k=5)}),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS DOUBLE) / 5 AS r
+  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+  GROUP BY a.qid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(coalesce(h.r, 0)), 6) AS mean_recall
+FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
+""".strip(),
         "ann_ivf_recall": f"""
 WITH approx AS ({ivf_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', dim=64, k=5)}),
 exact AS ({dense_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', k=5)}),

@@ -118,3 +118,52 @@ def test_pq_codes(spark, sf_dir):
         g = got[r["vec_id"]]
         assert g["codes"] == ",".join(codes), r["vec_id"]
         assert abs(g["mse"] - round(err / 64.0, 6)) <= 2e-6
+
+
+def test_ivf_pq_topk(spark, sf_dir):
+    """IVF+PQ ADC search vs oracle; every emitted adist equals the numpy
+    asymmetric distance (query to the candidate's code reconstruction), and
+    compressed recall@5 vs the exact ranking is nonzero but below IVF-flat
+    (quantization costs recall — that ordering is the sanity invariant)."""
+    import numpy as np
+
+    from deepkg_spark.operators.similarity import (
+        _pq_cents,
+        ivf_pq_topk,
+        ivf_pq_topk_duck_sql,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    con = duck_connect(sf_dir)
+    compare_spark_duck(
+        ivf_pq_topk(q, c, k=5, dim=64),
+        con,
+        ivf_pq_topk_duck_sql(
+            "(SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 10 = 0)",
+            "(SELECT vec_id AS cid, embedding AS cvec FROM embeddings)",
+            dim=64,
+            k=5,
+        ),
+    )
+
+    cents = _pq_cents(64)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for r in ivf_pq_topk(q, c, k=5, dim=64).limit(40).collect():
+        qv, cv = vecs[r["qid"]], vecs[r["cid"]]
+        d = 0.0
+        for s in range(8):
+            sv = cv[s * 8 : (s + 1) * 8]
+            j = int(np.argmin(((cents[s] - sv) ** 2).sum(axis=1)))
+            d += float(((qv[s * 8 : (s + 1) * 8] - cents[s][j]) ** 2).sum())
+        assert abs(r["adist"] - round(d, 6)) <= 2e-6, (r["qid"], r["cid"])
+
+    exact = dense_topk_frame(q, c, k=5)
+    r_pq = recall_at_k(ivf_pq_topk(q, c, k=5, dim=64), exact, 5)
+    r_ivf = recall_at_k(ivf_topk(q, c, k=5, dim=64), exact, 5)
+    assert 0.0 < r_pq <= r_ivf <= 1.0, (r_pq, r_ivf)
