@@ -79,6 +79,10 @@ from deepkg_spark.operators.dedup import (
     substring_stats,
     substring_stats_duck_sql,
 )
+from deepkg_spark.operators.head_factored import (
+    head_spans_duck_sql,
+    head_spans_factored,
+)
 from deepkg_spark.operators.mentions import (
     head_spans_udf,
     mentions_duck_sql,
@@ -786,29 +790,30 @@ def _q_dedup_clusters_star(spark, sf_dir):
 
 def _q_ner_biaffine(spark, sf_dir):
     """Biaffine head decoded spans (model/model.py:89-147; pinned-seed
-    weights, sparse decode == dense cube decode by test). Non-SQL numpy
-    core -> rows-only."""
-    return head_spans_udf(load_corpus(spark, sf_dir), head="biaffine")
+    weights). Factored-table decode -> EXACT DuckDB oracle (the round-4
+    verdict's last uncertified surface); parity with the numpy head
+    asserted in tests/test_head_factored.py."""
+    return head_spans_factored(load_corpus(spark, sf_dir), head="biaffine")
 
 
 def _q_ner_unlabeled(spark, sf_dir):
     """UnlabeledEntity pairwise-concat head decoded spans
-    (model/model.py:193-235). Non-SQL numpy core -> rows-only."""
-    return head_spans_udf(load_corpus(spark, sf_dir), head="unlabeled")
+    (model/model.py:193-235). Factored-table decode -> exact oracle."""
+    return head_spans_factored(load_corpus(spark, sf_dir), head="unlabeled")
 
 
 def _q_ner_rotary_gp(spark, sf_dir):
     """The reference's actual RoPE GlobalPointer head (model/model.py:
     148-180): per-class q/k, rotary encoding, q.k/sqrt(hs) logits.
-    Rows-only."""
-    return head_spans_udf(load_corpus(spark, sf_dir), head="rotary_gp")
+    Factored (code, position) tables -> exact oracle."""
+    return head_spans_factored(load_corpus(spark, sf_dir), head="rotary_gp")
 
 
 def _q_ner_efficient_gp(spark, sf_dir):
     """Efficient GlobalPointer (published F1 row UIE_torch/Readme.md:12;
     public v2 formulation — shared q/k span score + per-class rank-1 type
-    bias). Rows-only."""
-    return head_spans_udf(load_corpus(spark, sf_dir), head="efficient_gp")
+    bias). Factored tables -> exact oracle."""
+    return head_spans_factored(load_corpus(spark, sf_dir), head="efficient_gp")
 
 
 def _q_ann_recall(spark, sf_dir):
@@ -1190,23 +1195,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each round's window; scripts/verify_contract.py still sweeps ALL
     entries every run regardless of position."""
     return {
-        # --- (a) new round-5 oracle queries ---
+        # --- (a) NEW oracle evidence this round: IVF+PQ ADC search and the
+        #     four factored scorer heads (rows-only in r01-r04, now exact
+        #     DuckDB oracles via head_factored.py) ---
         "ann_ivf_pq": _q_ann_ivf_pq,
         "ann_ivf_pq_recall": _q_ann_ivf_pq_recall,
-        # --- (a) new round-4 oracle queries ---
+        "ner_biaffine": _q_ner_biaffine,
+        "ner_unlabeled": _q_ner_unlabeled,
+        "ner_rotary_gp": _q_ner_rotary_gp,
+        "ner_efficient_gp": _q_ner_efficient_gp,
+        # --- (b) round-4 tail: last official row is r03 — fresh rows due ---
+        "ner_tie_or_break": _q_tie_or_break,
+        "kg_triples_offsets": _q_triples_offsets,
+        "kg_offsets_closest": _q_offsets_closest,
+        "kg_offsets_longer_first": _q_offsets_longer_first,
+        "kg_link_pairs": _q_link_pairs,
+        "kg_link_gold_pairs": _q_link_gold_pairs,
+        "kg_link_gold_recall": _q_link_gold_recall,
+        "kg_link_rescored": _q_link_rescored,
+        "kg_link_rescored_boost": _q_link_rescored_boost,
+        "ev_windowed_counts": _q_ev_windows,
+        "ev_sessions": _q_ev_sessions,
+        "ann_recall": _q_ann_recall,
+        "mm_media_features": _q_media_features,
+        "mm_frame_sample": _q_media_frames,
+        "mm_resize": _q_media_resize,
+        "text_dsir_logratio": _q_dsir_logratio,
+        "kg_ssi_prefix": _q_ssi_prefix,
+        "kg_score_events": _q_score_events,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_jaccard": _q_jaccard,
+        "dedup_embedding": _q_embedding_neardup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "text_fingerprints": _q_fingerprints,
+        "text_repetition": _q_repetition,
+        "text_decontaminate": _q_decontaminate,
+        "text_sample_stratified": _q_sample_stratified,
+        "text_pack_sequences": _q_pack_sequences,
+        "profile_lineitem": _q_profile_lineitem,
+        "sts_spearman": _q_sts_spearman,
+        "sts_spearman_ties": _q_sts_spearman_ties,
+        "ph_candidates": _q_candidates,
+        "ph_features": _q_phrase_features,
+        # --- (c) keepers (r04-green; the remaining rows-only pair sits
+        #     here so their r5 rows stay fresh too) ---
+        "ner_distant_dp": _q_distant,
+        "ph_quality_loop": _q_phrase_quality,
+        "kg_corpus": _q_corpus,
+        "kg_mentions_udf": _q_mentions_udf,
+        "kg_triples_udf": _q_triples_udf,
+        "kg_link_bm25": _q_link_bm25,
+        "kg_link_dense": _q_link_dense,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_substring_spans": _q_substring_spans,
+        # ------------------- position 51+: past the driver's window ------
+        # every entry below has a green OFFICIAL row in CORRECTNESS_r04
+        # (at most one round old) and stays in the verify_contract sweep
         "kg_triples_offsets_closest": _q_triples_offsets_closest,
         "kg_events_closest": _q_events_closest,
-        "dedup_substring_spans": _q_substring_spans,
         "dedup_substring_stats": _q_substring_stats,
         "ev_asof_join": _q_ev_asof,
         "dedup_substring_clean": _q_substring_clean,
         "ann_pq_codes": _q_ann_pq,
         "profile_quantiles": _q_profile_quantiles,
         "text_top_terms": _q_top_terms,
-        # --- (b) round-3 tail: last official row r01/r02 (oracle twins /
-        #     modes) or never recorded (rows-only) — fresh rows due ---
-        "kg_mentions_udf": _q_mentions_udf,
-        "kg_triples_udf": _q_triples_udf,
         "kg_gold_triples": _q_gold_triples,
         "kg_score_set": _q_score_set,
         "kg_score_boundary": _q_score_boundary,
@@ -1224,14 +1279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ph_pmi": _q_pmi,
         "ph_idf": _q_idf,
         "ph_entropy": _q_entropy,
-        "ph_quality_loop": _q_phrase_quality,
-        "ner_distant_dp": _q_distant,
-        "ner_biaffine": _q_ner_biaffine,
-        "ner_unlabeled": _q_ner_unlabeled,
-        "ner_rotary_gp": _q_ner_rotary_gp,
-        "ner_efficient_gp": _q_ner_efficient_gp,
-        # --- (c) per-family keepers (r3-green) ---
-        "kg_corpus": _q_corpus,
         "kg_mentions": _q_mentions,
         "kg_triples": _q_triples,
         "kg_score_prf": _q_score_prf,
@@ -1240,50 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_nodes,
         "kg_edges": _q_edges,
         "kg_link_exact": _q_link_exact,
-        "kg_link_bm25": _q_link_bm25,
-        "kg_link_dense": _q_link_dense,
         "kg_sel_roundtrip": _q_sel_roundtrip,
         "kg_pagerank": _q_pagerank,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_clusters_star": _q_dedup_clusters_star,
-        "dedup_embedding": _q_embedding_neardup,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_recall": _q_ann_recall,
-        "text_decontaminate": _q_decontaminate,
-        "text_pack_sequences": _q_pack_sequences,
-        # ------------------- position 51+: past the driver's window ------
-        "sts_spearman_ties": _q_sts_spearman_ties,
-        "ph_candidates": _q_candidates,
-        # every entry below has a green OFFICIAL row in CORRECTNESS_r03
-        # (at most one round old) and stays in the verify_contract sweep
-        "ner_tie_or_break": _q_tie_or_break,
-        "kg_triples_offsets": _q_triples_offsets,
-        "kg_offsets_closest": _q_offsets_closest,
-        "kg_offsets_longer_first": _q_offsets_longer_first,
-        "kg_link_pairs": _q_link_pairs,
-        "kg_link_gold_pairs": _q_link_gold_pairs,
-        "kg_link_gold_recall": _q_link_gold_recall,
-        "kg_link_rescored": _q_link_rescored,
-        "kg_link_rescored_boost": _q_link_rescored_boost,
-        "ev_windowed_counts": _q_ev_windows,
-        "ev_sessions": _q_ev_sessions,
-        "mm_media_features": _q_media_features,
-        "mm_frame_sample": _q_media_frames,
-        "mm_resize": _q_media_resize,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash_pairs": _q_simhash_pairs,
-        "dedup_jaccard": _q_jaccard,
-        "ann_ivf_recall": _q_ann_ivf_recall,
-        "kg_score_events": _q_score_events,
-        "kg_ssi_prefix": _q_ssi_prefix,
-        "text_dsir_logratio": _q_dsir_logratio,
-        "text_fingerprints": _q_fingerprints,
-        "text_repetition": _q_repetition,
-        "text_sample_stratified": _q_sample_stratified,
-        "profile_lineitem": _q_profile_lineitem,
-        "sts_spearman": _q_sts_spearman,
-        "ph_features": _q_phrase_features,
     }
 
 
@@ -1417,8 +1423,13 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
             + triples_duck_sql()
             + ") t"
         ),
-        # ner_distant_dp / ner_biaffine / ner_unlabeled: non-SQL cores
-        # (DP segmentation, numpy head decode) -> rows-only checks
+        # scorer heads: factored-table decodes with bitwise-identical
+        # arithmetic in both engines (head_factored.py module doc)
+        "ner_biaffine": head_spans_duck_sql("biaffine", f"({corpus_sql()})"),
+        "ner_unlabeled": head_spans_duck_sql("unlabeled", f"({corpus_sql()})"),
+        "ner_rotary_gp": head_spans_duck_sql("rotary_gp", f"({corpus_sql()})"),
+        "ner_efficient_gp": head_spans_duck_sql("efficient_gp", f"({corpus_sql()})"),
+        # ner_distant_dp: non-SQL core (DP segmentation) -> rows-only check
         "ner_tie_or_break": _tie_or_break_oracle(),
         "kg_triples_offsets": gold_offsets_sql(),
         "kg_triples_offsets_closest": gold_offsets_closest_sql(),

@@ -190,3 +190,121 @@ def tie_or_break_spans(labeled: DataFrame) -> DataFrame:
     return labeled.groupBy("sent_id").applyInPandas(
         per_group, schema="sent_id long, start int, end int, type string"
     )
+
+
+# ---------------------------------------------------------------- DuckDB
+
+def distant_dp_duck_sql(
+    docs_rel: str = "documents",
+    core_sql: str | None = None,
+    full_sql: str | None = None,
+    weight_full: float = 0.5,
+) -> str:
+    """Exact DuckDB oracle for the __spark_entry__ ner_distant_dp query:
+    corpus-mined dictionary (core bigrams w=1.0 / full trigrams w=weight_full)
+    + segment_dp, as recursive CTEs (string_match.h:21-99 semantics).
+
+    Surfaces are 2-3 tokens, so trie matching degenerates to two window
+    joins, and the left-to-right DP only ever reads best[j-1..j-3]: the
+    forward recursion carries (best[j], best[j-1], best[j-2]) as columns and
+    advances every document in lockstep (depth = max token count). The
+    sequential algorithm's tie-breaks are encoded exactly:
+
+      best[j] = max(skip=best[j-1], tri=best[j-3]+w3*9, bi=best[j-2]+w2*4)
+      choice[j]: the bigram beats an equal trigram (matches iterate
+      short->long with >=), and skip wins only on STRICT improvement.
+
+    Every score is a small dyadic rational (sums of 4.0 and 4.5 by default),
+    so the float comparisons are exact in both engines and the emitted
+    integer/string rows are bitwise engine-independent. The traceback is a
+    second recursion walking choice[] from n down to 0.
+    """
+    from deepkg_spark.operators.phrases import phrase_candidates_duck_sql
+
+    core_sql = core_sql or phrase_candidates_duck_sql(
+        "docs", min_freq=5, min_len=2, max_n=2, topk=30
+    )
+    full_sql = full_sql or phrase_candidates_duck_sql(
+        "docs", min_freq=3, min_len=3, max_n=3, topk=20
+    )
+    w2 = 1.0 * 4
+    w3 = weight_full * 9
+    return f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, text FROM {docs_rel}),
+tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM docs),
+nlen AS (SELECT doc_id, CAST(len(t) AS INT) AS n FROM tk),
+toks AS (
+  SELECT doc_id, CAST(unnest(range(len(t))) AS INT) AS pos, unnest(t) AS token
+  FROM tk
+),
+core AS ({core_sql}),
+fulld AS ({full_sql}),
+bi AS (
+  SELECT a.doc_id, a.pos AS s, a.pos + 2 AS e
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN core c ON c.ngram = a.token || ' ' || b.token
+),
+tri AS (
+  SELECT a.doc_id, a.pos AS s, a.pos + 3 AS e
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2
+  JOIN fulld f ON f.ngram = a.token || ' ' || b.token || ' ' || c2.token
+),
+fwd(doc_id, j, b0, b1, b2, cs, ct) AS (
+  SELECT doc_id, 0, CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+  FROM nlen
+  UNION ALL
+  SELECT doc_id, j + 1,
+         GREATEST(b0, COALESCE(mscore, 0.0)),
+         b0, b1,
+         CASE WHEN mscore IS NOT NULL AND NOT (b0 > mscore) THEN mstart END,
+         CASE WHEN mscore IS NOT NULL AND NOT (b0 > mscore) THEN mtype END
+  FROM (
+    SELECT f.doc_id, f.j, f.b0, f.b1, f.b2,
+           CASE WHEN bi.e IS NOT NULL
+                     AND (tri.e IS NULL OR f.b1 + {w2!r} >= f.b2 + {w3!r})
+                THEN f.b1 + {w2!r}
+                WHEN tri.e IS NOT NULL THEN f.b2 + {w3!r} END AS mscore,
+           CASE WHEN bi.e IS NOT NULL
+                     AND (tri.e IS NULL OR f.b1 + {w2!r} >= f.b2 + {w3!r})
+                THEN f.j - 1
+                WHEN tri.e IS NOT NULL THEN f.j - 2 END AS mstart,
+           CASE WHEN bi.e IS NOT NULL
+                     AND (tri.e IS NULL OR f.b1 + {w2!r} >= f.b2 + {w3!r})
+                THEN 'phrase'
+                WHEN tri.e IS NOT NULL THEN 'phrase3' END AS mtype
+    FROM fwd f
+    JOIN nlen nl ON nl.doc_id = f.doc_id AND f.j < nl.n
+    LEFT JOIN bi ON bi.doc_id = f.doc_id AND bi.e = f.j + 1
+    LEFT JOIN tri ON tri.doc_id = f.doc_id AND tri.e = f.j + 1
+  ) step
+),
+back(doc_id, i, emit_s, emit_e, emit_t) AS (
+  SELECT doc_id, n, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+  FROM nlen WHERE n > 0
+  UNION ALL
+  SELECT b.doc_id,
+         CASE WHEN fw.cs IS NULL THEN b.i - 1 ELSE fw.cs END,
+         fw.cs,
+         CASE WHEN fw.cs IS NULL THEN NULL ELSE b.i END,
+         fw.ct
+  FROM back b
+  JOIN fwd fw ON fw.doc_id = b.doc_id AND fw.j = b.i
+  WHERE b.i > 0
+)
+SELECT g.doc_id,
+       g.emit_s AS start_tok,
+       g.emit_e AS end_tok,
+       g.emit_t AS seg_type,
+       CASE WHEN g.emit_e - g.emit_s = 2 THEN t0.token || ' ' || t1.token
+            ELSE t0.token || ' ' || t1.token || ' ' || t2.token END AS surface
+FROM back g
+JOIN toks t0 ON t0.doc_id = g.doc_id AND t0.pos = g.emit_s
+JOIN toks t1 ON t1.doc_id = g.doc_id AND t1.pos = g.emit_s + 1
+LEFT JOIN toks t2 ON t2.doc_id = g.doc_id AND t2.pos = g.emit_s + 2
+WHERE g.emit_s IS NOT NULL
+""".strip()

@@ -71,10 +71,9 @@ def test_every_window_query_has_oracle_or_is_rows_only():
     window slots."""
     entrymod, manifest = _load()
     oracles = set(entrymod.oracle_sql().keys())
-    rows_only = {
-        "ph_quality_loop", "ner_distant_dp", "ner_biaffine",
-        "ner_unlabeled", "ner_rotary_gp", "ner_efficient_gp",
-    }
+    # round 5 oracle-certified the four factored scorer heads; only the
+    # DP segmenter and the driver-loop classifier remain rows-only
+    rows_only = {"ph_quality_loop", "ner_distant_dp"}
     newest = sorted(manifest)[-1]
     missing = [q for q in manifest[newest] if q not in oracles | rows_only]
     assert missing == [], missing
