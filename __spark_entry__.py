@@ -125,7 +125,11 @@ from deepkg_spark.operators.curation import (
     unigram_logprob,
     unigram_logprob_duck_sql,
 )
-from deepkg_spark.operators.distant import distant_supervision, tie_or_break_spans
+from deepkg_spark.operators.distant import (
+    distant_dp_duck_sql,
+    distant_supervision,
+    tie_or_break_spans,
+)
 from deepkg_spark.operators.events import (
     asof_join,
     asof_join_duck_sql,
@@ -1429,7 +1433,9 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
         "ner_unlabeled": head_spans_duck_sql("unlabeled", f"({corpus_sql()})"),
         "ner_rotary_gp": head_spans_duck_sql("rotary_gp", f"({corpus_sql()})"),
         "ner_efficient_gp": head_spans_duck_sql("efficient_gp", f"({corpus_sql()})"),
-        # ner_distant_dp: non-SQL core (DP segmentation) -> rows-only check
+        # ner_distant_dp: trie matches as window joins, segment_dp as a
+        # forward recursive CTE + traceback (exact: scores are dyadic)
+        "ner_distant_dp": distant_dp_duck_sql(),
         "ner_tie_or_break": _tie_or_break_oracle(),
         "kg_triples_offsets": gold_offsets_sql(),
         "kg_triples_offsets_closest": gold_offsets_closest_sql(),

@@ -232,21 +232,21 @@ def distant_dp_duck_sql(
     return f"""
 WITH RECURSIVE
 docs AS (SELECT doc_id, text FROM {docs_rel}),
-tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM docs),
-nlen AS (SELECT doc_id, CAST(len(t) AS INT) AS n FROM tk),
-toks AS (
+tk AS MATERIALIZED (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM docs),
+nlen AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS INT) AS n FROM tk),
+toks AS MATERIALIZED (
   SELECT doc_id, CAST(unnest(range(len(t))) AS INT) AS pos, unnest(t) AS token
   FROM tk
 ),
 core AS ({core_sql}),
 fulld AS ({full_sql}),
-bi AS (
+bi AS MATERIALIZED (
   SELECT a.doc_id, a.pos AS s, a.pos + 2 AS e
   FROM toks a
   JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   JOIN core c ON c.ngram = a.token || ' ' || b.token
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT a.doc_id, a.pos AS s, a.pos + 3 AS e
   FROM toks a
   JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
@@ -283,6 +283,7 @@ fwd(doc_id, j, b0, b1, b2, cs, ct) AS (
     LEFT JOIN tri ON tri.doc_id = f.doc_id AND tri.e = f.j + 1
   ) step
 ),
+fwd_m AS MATERIALIZED (SELECT * FROM fwd),
 back(doc_id, i, emit_s, emit_e, emit_t) AS (
   SELECT doc_id, n, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR)
   FROM nlen WHERE n > 0
@@ -293,7 +294,7 @@ back(doc_id, i, emit_s, emit_e, emit_t) AS (
          CASE WHEN fw.cs IS NULL THEN NULL ELSE b.i END,
          fw.ct
   FROM back b
-  JOIN fwd fw ON fw.doc_id = b.doc_id AND fw.j = b.i
+  JOIN fwd_m fw ON fw.doc_id = b.doc_id AND fw.j = b.i
   WHERE b.i > 0
 )
 SELECT g.doc_id,

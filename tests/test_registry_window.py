@@ -71,9 +71,9 @@ def test_every_window_query_has_oracle_or_is_rows_only():
     window slots."""
     entrymod, manifest = _load()
     oracles = set(entrymod.oracle_sql().keys())
-    # round 5 oracle-certified the four factored scorer heads; only the
-    # DP segmenter and the driver-loop classifier remain rows-only
-    rows_only = {"ph_quality_loop", "ner_distant_dp"}
+    # round 5 oracle-certified the four factored scorer heads and the DP
+    # segmenter; only the driver-loop classifier remains rows-only
+    rows_only = {"ph_quality_loop"}
     newest = sorted(manifest)[-1]
     missing = [q for q in manifest[newest] if q not in oracles | rows_only]
     assert missing == [], missing

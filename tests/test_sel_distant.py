@@ -286,3 +286,50 @@ def test_ssi_prefix_contract_and_semantics(spark, sf_dir):
     assert sorted(r["ssi"] for r in df.collect()) == sorted(
         r["ssi"] for r in again.collect()
     )
+
+
+# ---------------------------------------------------------------- DP oracle
+
+def test_distant_dp_duck_sql_exhaustive_vs_python():
+    """The recursive-CTE oracle reproduces segment_dp exactly — including
+    the >=/> tie-breaks (bigram beats equal trigram; skip needs strict
+    improvement) — over EVERY length-6 token sequence from a 3-letter
+    alphabet with overlapping dictionary surfaces (729 docs)."""
+    import itertools
+
+    import duckdb
+
+    from deepkg_spark.operators.distant import (
+        TokenTrie,
+        distant_dp_duck_sql,
+        segment_dp,
+    )
+
+    core = ["a b", "b c", "c a"]
+    full = ["a b c", "b c a", "c c c"]
+    docs = [
+        (i, " ".join(toks))
+        for i, toks in enumerate(itertools.product("abc", repeat=6))
+    ]
+
+    trie = TokenTrie(
+        [(s, "phrase", 1.0) for s in core] + [(s, "phrase3", 0.5) for s in full]
+    )
+    expect = set()
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        for s, e, etype in segment_dp(toks, trie):
+            expect.add((doc_id, s, e, etype, " ".join(toks[s:e])))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    sql = distant_dp_duck_sql(
+        "d",
+        core_sql="SELECT * FROM (VALUES "
+        + ", ".join(f"('{s}')" for s in core) + ") t(ngram)",
+        full_sql="SELECT * FROM (VALUES "
+        + ", ".join(f"('{s}')" for s in full) + ") t(ngram)",
+    )
+    got = set(con.execute(sql).fetchall())
+    assert got == expect and expect
