@@ -28,24 +28,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from deepkg_spark.operators.curation import profile_quantiles  # noqa: E402
 from deepkg_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash_pairs,
     substring_spans,
 )
+from deepkg_spark.operators.events import asof_join  # noqa: E402
 from deepkg_spark.operators.graph import edge_table, node_table  # noqa: E402
 from deepkg_spark.operators.linking import bm25_topn, dense_topk_udf  # noqa: E402
 from deepkg_spark.operators.phrases import pmi  # noqa: E402
 from deepkg_spark.operators.relations import triples_frame  # noqa: E402
 from deepkg_spark.operators.sel import sel_roundtrip_triples  # noqa: E402
-from deepkg_spark.operators.textstats import fingerprints, quality_score  # noqa: E402
+from deepkg_spark.operators.similarity import ivf_pq_topk, pq_codes  # noqa: E402
+from deepkg_spark.operators.textstats import (  # noqa: E402
+    fingerprints,
+    quality_score,
+    top_terms,
+)
 from deepkg_spark.session import get_spark  # noqa: E402
 from deepkg_spark.sources.corpus import load_corpus  # noqa: E402
+
+
+PROFILE_NUM = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+               "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+QUIET_LOAD = 2.0  # 1-min loadavg below this at start = un-poisoned run
 
 
 def _force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _wait_for_quiet(max_wait_sec: float) -> float:
+    """Best-effort quiet-window gate: poll until 1-min loadavg < QUIET_LOAD
+    or the budget runs out (the shared host's neighbor storms pulse on a
+    minutes scale — see BENCH.md steal tables). Returns seconds waited; the
+    run proceeds either way and records quiet_start so a poisoned official
+    number is machine-detectable."""
+    t0 = time.monotonic()
+    while os.getloadavg()[0] >= QUIET_LOAD:
+        if time.monotonic() - t0 >= max_wait_sec:
+            break
+        time.sleep(5.0)
+    return round(time.monotonic() - t0, 1)
 
 
 def main() -> None:
@@ -65,6 +92,8 @@ def main() -> None:
         .persist()
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.col("p_partkey").alias("term_id"), F.col("p_name").alias("name")
     )
@@ -99,6 +128,14 @@ def main() -> None:
         "ph_pmi": lambda: _force(pmi(docs, 3)),
         "text_fingerprints": lambda: _force(fingerprints(docs)),
         "text_quality": lambda: _force(quality_score(docs)),
+        # round-4/5 operators (regression coverage per VERDICT r4 item 6)
+        "ann_ivf_pq": lambda: _force(ivf_pq_topk(ann_q, ann_c, k=5, dim=64)),
+        "ann_pq_codes": lambda: _force(pq_codes(emb, dim=64)),
+        "ev_asof_join": lambda: _force(asof_join(events)),
+        "profile_quantiles": lambda: _force(
+            profile_quantiles(lineitem, num_cols=PROFILE_NUM)
+        ),
+        "text_top_terms": lambda: _force(top_terms(docs, k=20)),
     }
 
     # best-of-N: the sandbox host is shared and its delivered CPU varies
@@ -107,6 +144,7 @@ def main() -> None:
     # per cycle) so one multi-minute noise burst cannot poison every sample
     # of a single query — its samples land minutes apart.
     repeats = int(os.environ.get("DEEPKG_BENCH_REPEATS", "3"))
+    waited = _wait_for_quiet(float(os.environ.get("DEEPKG_BENCH_QUIET_WAIT", "120")))
     run_load0 = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     query_loadavg: dict[str, list[float]] = {}
@@ -134,6 +172,8 @@ def main() -> None:
                     "start": run_load0,
                     "end": round(os.getloadavg()[0], 2),
                 },
+                "quiet_start": run_load0 < QUIET_LOAD,
+                "quiet_waited_sec": waited,
                 "query_loadavg": query_loadavg,
             }
         )
