@@ -144,3 +144,59 @@ def run_incremental(
     ).parquet(manifest_path)
     rows = sum(r[2] for r in manifest_rows)
     return {"pending": len(pend_splits), "processed": len(pend_splits), "rows": rows}
+
+
+def run_staged(
+    spark: SparkSession,
+    stages: list,
+    out_dir: str,
+    job_id: str,
+) -> tuple[dict, DataFrame | None]:
+    """Stage-boundary checkpointing for chains whose stages are NOT
+    per-partition independent (near-dup clustering, decontamination,
+    packing — the composed curate job). Split-level resume
+    (run_incremental) would be wrong there: a doc's survival depends on
+    OTHER docs, so the unit of idempotent replay is the whole stage.
+
+    `stages` is an ordered list of (name, fn) with fn(prev: DataFrame|None)
+    -> DataFrame; each stage's output is parquet-materialized at
+    out_dir/stage_<i>_<name>, then manifested (data first, manifest second
+    — same commit protocol as run_incremental, manifest split_id column
+    reused as the stage index). Resume skips the longest CONTIGUOUS
+    manifested prefix and reloads its last output; anything after the first
+    missing stage re-runs (mode=overwrite makes a half-written crash
+    remnant harmless). Stages must be deterministic for the lineage
+    checksums to be meaningful — every stage here is (hash-gated filters,
+    hash sampling, min-id survivors).
+
+    Returns ({stage_name: row_count}, final stage DataFrame).
+    """
+    manifest_path = f"{out_dir}/_manifest"
+    done = {
+        r[SPLIT_COL]: r["row_count"]
+        for r in read_manifest(spark, manifest_path, job_id).collect()
+    }
+    prefix = 0
+    while prefix in done:
+        prefix += 1
+    counts: dict = {}
+    prev: DataFrame | None = None
+    for i, (name, fn) in enumerate(stages):
+        path = f"{out_dir}/stage_{i:02d}_{name}"
+        if i < prefix:
+            prev = spark.read.parquet(path)
+            counts[name] = int(done[i])
+            continue
+        fn(prev).write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("c"),
+            (F.sum(F.expr(_row_digest(out.columns))) % _CHECK_MOD).alias("k"),
+        ).collect()[0]
+        spark.createDataFrame(
+            [(job_id, i, int(agg["c"]), int(agg["k"] or 0), "ok", 1)],
+            MANIFEST_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(manifest_path)
+        prev = out
+        counts[name] = int(agg["c"])
+    return counts, prev

@@ -127,15 +127,8 @@ def main() -> None:
     if args.job == "curate":
         from pyspark.sql import functions as F
 
-        from deepkg_spark.operators.curation import (
-            decontaminate,
-            pack_sequences,
-            repetition_stats,
-            sample_stratified,
-        )
-        from deepkg_spark.operators.dedup import minhash_lsh_pairs
-        from deepkg_spark.operators.graph import connected_components
-        from deepkg_spark.operators.textstats import lang_id, quality_score
+        from deepkg_spark.checkpoint import run_staged
+        from deepkg_spark.operators.curation import curate_stages
 
         all_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
             "doc_id", "text"
@@ -145,63 +138,32 @@ def main() -> None:
         docs = all_docs.filter(F.col("doc_id") % 20 != 0).persist()
         n0 = docs.count()
 
-        # 1. quality + repetition gates (two narrow passes, joined on doc_id)
-        gated = (
-            docs.join(quality_score(docs).select("doc_id", "quality"), "doc_id")
-            .join(
-                repetition_stats(docs).select("doc_id", "dup_3gram_frac"), "doc_id"
-            )
-            .filter(
-                (F.col("quality") >= args.qmin)
-                & (F.col("dup_3gram_frac") <= args.rmax)
-            )
-            .select("doc_id", "text")
-            .persist()
+        # stage-boundary checkpointing (data first, manifest second): a
+        # killed run re-invoked with the same --out resumes after the last
+        # completed stage — the cross-document stages (dedup/decontaminate/
+        # pack) make split-level resume semantically wrong here, so the
+        # stage IS the unit of idempotent replay. Each stage's parquet under
+        # --out doubles as the cache the old per-stage .persist() provided.
+        counts, packed = run_staged(
+            spark,
+            curate_stages(
+                docs, ev,
+                qmin=args.qmin, rmax=args.rmax, tau=args.tau,
+                budget=args.budget, shard_size=args.shard_size,
+            ),
+            args.out,
+            job_id=args.job_id if args.job_id != "kg" else "curate",
         )
-        n1 = gated.count()
-
-        # 2. near-dup collapse: LSH pairs -> connected components, keep the
-        #    MIN doc_id of every duplicate cluster (deterministic survivor)
-        pairs = minhash_lsh_pairs(gated, tau=args.tau).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        )
-        comp = connected_components(gated.select(F.col("doc_id").alias("v")), pairs)
-        reps = comp.groupBy("component").agg(F.min("v").alias("doc_id"))
-        deduped = gated.join(reps.select("doc_id"), "doc_id", "left_semi").persist()
-        n2 = deduped.count()
-
-        # 3. drop docs sharing any 5-gram with the eval split
-        flags = decontaminate(deduped, ev, n=5)
-        clean = deduped.join(
-            flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id",
-            "left_semi",
-        ).persist()
-        n3 = clean.count()
-
-        # 4. stratified sampling by predicted language (hash-deterministic)
-        lang = lang_id(clean).select("doc_id", "pred_lang")
-        sampled = sample_stratified(
-            clean.join(lang, "doc_id"),
-            {"en": 900},
-            default_permille=500,
-            stratum_col="pred_lang",
-        ).select("doc_id", "text").persist()
-        n4 = sampled.count()
-
-        # 5. pack into token-budget bins and materialize
-        packed = pack_sequences(sampled, budget=args.budget, shard_size=args.shard_size)
-        packed.write.mode("overwrite").parquet(f"{args.out}/packed")
-        out = spark.read.parquet(f"{args.out}/packed")
-        n_bins = out.select("shard", "bin").distinct().count()
+        n_bins = packed.select("shard", "bin").distinct().count()
         print(
             json.dumps(
                 {
                     "job": "curate",
                     "input": n0,
-                    "after_quality": n1,
-                    "after_dedup": n2,
-                    "after_decontaminate": n3,
-                    "after_sample": n4,
+                    "after_quality": counts["gate"],
+                    "after_dedup": counts["dedup"],
+                    "after_decontaminate": counts["decontaminate"],
+                    "after_sample": counts["sample"],
                     "bins": n_bins,
                 }
             )

@@ -710,3 +710,71 @@ SELECT col_name, CAST(max(n) AS BIGINT) AS n, {', '.join(q_exprs)}
 FROM cum JOIN tot USING (col_name)
 GROUP BY col_name
 """
+
+
+def curate_stages(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    qmin: float = 0.3,
+    rmax: float = 0.5,
+    tau: float = 0.5,
+    budget: int = 512,
+    shard_size: int = 1000,
+) -> list:
+    """The composed curation chain as an ordered (name, fn) stage list for
+    checkpoint.run_staged — quality+repetition gates -> LSH near-dup
+    collapse (min-doc_id survivor) -> eval-set 5-gram decontamination ->
+    hash-stratified language sampling -> next-fit packing. Stage-boundary
+    checkpointing is the correct resume granularity here: dedup /
+    decontaminate / pack are cross-document, so split-level replay
+    (checkpoint.run_incremental) could not reproduce an interrupted run.
+    Every stage is hash-deterministic, making resumed and uninterrupted
+    runs bit-identical (tests/test_kill_resume.py pins this with a SIGKILL
+    mid-chain)."""
+    from deepkg_spark.operators.dedup import minhash_lsh_pairs
+    from deepkg_spark.operators.graph import connected_components
+    from deepkg_spark.operators.textstats import lang_id, quality_score
+
+    def gate(_):
+        return (
+            docs.join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+            .join(repetition_stats(docs).select("doc_id", "dup_3gram_frac"), "doc_id")
+            .filter((F.col("quality") >= qmin) & (F.col("dup_3gram_frac") <= rmax))
+            .select("doc_id", "text")
+        )
+
+    def dedup(gated):
+        pairs = minhash_lsh_pairs(gated, tau=tau).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        comp = connected_components(gated.select(F.col("doc_id").alias("v")), pairs)
+        reps = comp.groupBy("component").agg(F.min("v").alias("doc_id"))
+        return gated.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+    def decon(deduped):
+        flags = decontaminate(deduped, eval_docs, n=5)
+        return deduped.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+    def sample(clean):
+        lang = lang_id(clean).select("doc_id", "pred_lang")
+        return sample_stratified(
+            clean.join(lang, "doc_id"),
+            {"en": 900},
+            default_permille=500,
+            stratum_col="pred_lang",
+        ).select("doc_id", "text")
+
+    def pack(sampled):
+        return pack_sequences(sampled, budget=budget, shard_size=shard_size)
+
+    return [
+        ("gate", gate),
+        ("dedup", dedup),
+        ("decontaminate", decon),
+        ("sample", sample),
+        ("pack", pack),
+    ]

@@ -9,12 +9,15 @@ import shutil
 import signal
 import subprocess
 import sys
+import pathlib
 import tempfile
 import time
 
+REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+
 CHILD = r"""
 import sys, time
-sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+sys.path.insert(0, sys.argv[3])
 from deepkg_spark.checkpoint import run_incremental
 from deepkg_spark.operators.relations import triples_frame
 from deepkg_spark.session import get_spark
@@ -36,7 +39,7 @@ def test_sigkill_then_resume(spark, sf_dir):
     ref_dir = tempfile.mkdtemp()
     try:
         proc = subprocess.Popen(
-            [sys.executable, "-c", CHILD, sf_dir, out_dir],
+            [sys.executable, "-c", CHILD, sf_dir, out_dir, REPO_ROOT],
             stdout=subprocess.PIPE, text=True,
         )
         # wait for the partial commit, then SIGKILL (no cleanup, no atexit)
@@ -136,3 +139,84 @@ def test_row_digest_null_position_sensitivity(spark):
     )
     digs = [r[0] for r in df.selectExpr(_row_digest(["c1", "c2", "c3"])).collect()]
     assert digs[0] != digs[1]
+
+
+CURATE_CHILD = r"""
+import sys, time
+sys.path.insert(0, sys.argv[3])
+from pyspark.sql import functions as F
+from deepkg_spark.checkpoint import run_staged
+from deepkg_spark.operators.curation import curate_stages
+from deepkg_spark.session import get_spark
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+spark = get_spark(master="local[2]", shuffle_partitions=2, app_name="curate-kill")
+all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+ev = all_docs.filter(F.col("doc_id") % 20 == 0)
+docs = all_docs.filter(F.col("doc_id") % 20 != 0)
+# commit only the first two stages (gate, dedup), then hang: the parent
+# SIGKILLs us mid-"chain" — stages 3-5 never get manifest rows
+stages = curate_stages(docs, ev, qmin=0.0, rmax=1.0)
+run_staged(spark, stages[:2], out_dir, "curate")
+print("PARTIAL_COMMITTED", flush=True)
+time.sleep(120)
+"""
+
+
+def test_curate_chain_sigkill_then_resume(spark, sf_dir):
+    """The composed curate chain (stage-boundary checkpoints): SIGKILL after
+    two committed stages; a fresh process resumes, runs only the remaining
+    stages, and the packed output is identical to an uninterrupted run."""
+    import pyspark.sql.functions as F
+
+    from deepkg_spark.checkpoint import run_staged
+    from deepkg_spark.operators.curation import curate_stages
+
+    out_dir = tempfile.mkdtemp()
+    ref_dir = tempfile.mkdtemp()
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", CURATE_CHILD, sf_dir, out_dir, REPO_ROOT],
+            stdout=subprocess.PIPE, text=True,
+        )
+        line = ""
+        t0 = time.time()
+        while time.time() - t0 < 180:
+            line = proc.stdout.readline()
+            if "PARTIAL_COMMITTED" in line:
+                break
+        assert "PARTIAL_COMMITTED" in line
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+        all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        ev = all_docs.filter(F.col("doc_id") % 20 == 0)
+        docs = all_docs.filter(F.col("doc_id") % 20 != 0)
+
+        counts, packed = run_staged(
+            spark, curate_stages(docs, ev, qmin=0.0, rmax=1.0), out_dir, "curate"
+        )
+        ref_counts, ref_packed = run_staged(
+            spark, curate_stages(docs, ev, qmin=0.0, rmax=1.0), ref_dir, "curate"
+        )
+        assert counts == ref_counts
+        resumed = {tuple(x) for x in packed.collect()}
+        oneshot = {tuple(x) for x in ref_packed.collect()}
+        assert resumed == oneshot and len(resumed) > 0
+
+        # the resumed manifest holds exactly one row per stage, and the two
+        # runs agree on every stage's lineage counters
+        m1 = {
+            (x["split_id"], x["row_count"], x["checksum"])
+            for x in spark.read.parquet(f"{out_dir}/_manifest").collect()
+        }
+        m2 = {
+            (x["split_id"], x["row_count"], x["checksum"])
+            for x in spark.read.parquet(f"{ref_dir}/_manifest").collect()
+        }
+        assert m1 == m2 and len(m1) == 5
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ref_dir, ignore_errors=True)
