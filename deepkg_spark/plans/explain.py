@@ -399,6 +399,49 @@ def main() -> None:
         forbidden=["Exchange", "Join"],
     )
 
+    # IVF+PQ ADC search: candidates reduced to (cell, m codes) narrowly;
+    # the only join is the cell equi-join (never a cross product), ranking
+    # is a per-qid window — raw cvec floats never shuffle (the exchanges
+    # carry qid lookup tables and 8 int codes per candidate)
+    from deepkg_spark.operators.similarity import ivf_pq_topk
+
+    ivfq = emb_full.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ivfc = emb_full.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    audit(
+        "ann_ivf_pq (cell equi-join over codes, no cross product)",
+        ivf_pq_topk(ivfq, ivfc, k=5, dim=64),
+        required=["Window"],
+        forbidden=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+    # factored scorer heads: scan -> Arrow mapInPandas -> rows, no shuffle
+    from deepkg_spark.operators.head_factored import head_spans_factored
+
+    audit(
+        "ner_head_factored (narrow Arrow stage, no shuffle)",
+        head_spans_factored(corpus, head="rotary_gp"),
+        required=["MapInPandas"],
+        forbidden=["Exchange", "Join"],
+    )
+
+    # distant supervision: broadcast trie inside the Arrow stage — the plan
+    # itself is one narrow stage (dictionary rides a python broadcast)
+    from deepkg_spark.operators.distant import distant_supervision
+
+    tiny_dict = spark.createDataFrame(
+        [("import mod1", "phrase", True)], "surface string, type string, is_core boolean"
+    )
+    audit(
+        "ner_distant_dp (broadcast trie, narrow Arrow stage)",
+        distant_supervision(docs, tiny_dict),
+        required=["MapInPandas"],
+        forbidden=["Exchange", "SortMergeJoin"],
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (regenerate: python -m "
