@@ -150,6 +150,8 @@ from deepkg_spark.operators.sel import (
     ssi_prefix_duck_sql,
 )
 from deepkg_spark.operators.similarity import (
+    ivf_pq_refine_duck_sql,
+    ivf_pq_refine_topk,
     ivf_pq_topk,
     ivf_pq_topk_duck_sql,
     ivf_topk,
@@ -619,6 +621,27 @@ def _q_ann_ivf_pq(spark, sf_dir):
     candidates shuffle as 8 codes + a cell id, never as float vectors."""
     q, c = _ann_frames(spark, sf_dir)
     return ivf_pq_topk(q, c, k=5, dim=64)
+
+
+def _q_ann_ivf_pq_refined(spark, sf_dir):
+    """Compressed search + exact re-rank (faiss IndexRefineFlat shape over
+    simcse_unsup.py:44-76): ADC shortlist of 25 from 8-byte codes, exact
+    inner products computed for those rows ONLY, final top-5 re-ranked on
+    them — raw vectors random-accessed ~25 rows/query, never scanned."""
+    q, c = _ann_frames(spark, sf_dir)
+    return ivf_pq_refine_topk(q, c, k=5, shortlist=25, dim=64)
+
+
+def _q_ann_ivf_pq_refined_recall(spark, sf_dir):
+    """recall@5 of refined-ADC vs exact — quantization error now only
+    gates shortlist membership, so this bounds ann_ivf_pq_recall from
+    above at the same code budget."""
+    q, c = _ann_frames(spark, sf_dir)
+    return recall_frame(
+        ivf_pq_refine_topk(q, c, k=5, shortlist=25, dim=64),
+        dense_topk_frame(q, c, k=5),
+        5,
+    )
 
 
 def _q_ann_ivf_pq_recall(spark, sf_dir):
@@ -1204,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     DuckDB oracles via head_factored.py) ---
         "ann_ivf_pq": _q_ann_ivf_pq,
         "ann_ivf_pq_recall": _q_ann_ivf_pq_recall,
+        "ann_ivf_pq_refined": _q_ann_ivf_pq_refined,
+        "ann_ivf_pq_refined_recall": _q_ann_ivf_pq_refined_recall,
         "ner_biaffine": _q_ner_biaffine,
         "ner_unlabeled": _q_ner_unlabeled,
         "ner_rotary_gp": _q_ner_rotary_gp,
@@ -1247,9 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     here so their r5 rows stay fresh too) ---
         "ner_distant_dp": _q_distant,
         "ph_quality_loop": _q_phrase_quality,
-        "kg_corpus": _q_corpus,
         "kg_mentions_udf": _q_mentions_udf,
-        "kg_triples_udf": _q_triples_udf,
         "kg_link_bm25": _q_link_bm25,
         "kg_link_dense": _q_link_dense,
         "dedup_exact": _q_dedup_exact,
@@ -1258,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------- position 51+: past the driver's window ------
         # every entry below has a green OFFICIAL row in CORRECTNESS_r04
         # (at most one round old) and stays in the verify_contract sweep
+        "kg_corpus": _q_corpus,
+        "kg_triples_udf": _q_triples_udf,
         "kg_triples_offsets_closest": _q_triples_offsets_closest,
         "kg_events_closest": _q_events_closest,
         "dedup_substring_stats": _q_substring_stats,
@@ -1356,6 +1381,21 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ivf_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
         "ann_pq_codes": pq_codes_duck_sql("embeddings", dim=64),
         "ann_ivf_pq": ivf_pq_topk_duck_sql(f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5),
+        "ann_ivf_pq_refined": ivf_pq_refine_duck_sql(
+            f"({_ANN_Q})", f"({_ANN_C})", dim=64, k=5, shortlist=25
+        ),
+        "ann_ivf_pq_refined_recall": f"""
+WITH approx AS ({ivf_pq_refine_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', dim=64, k=5, shortlist=25)}),
+exact AS ({dense_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', k=5)}),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS DOUBLE) / 5 AS r
+  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+  GROUP BY a.qid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(coalesce(h.r, 0)), 6) AS mean_recall
+FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
+""".strip(),
         "ann_ivf_pq_recall": f"""
 WITH approx AS ({ivf_pq_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', dim=64, k=5)}),
 exact AS ({dense_topk_duck_sql(f'({_ANN_Q})', f'({_ANN_C})', k=5)}),

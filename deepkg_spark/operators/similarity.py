@@ -739,3 +739,85 @@ SELECT qid, cid, adist, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """.strip()
+
+
+def ivf_pq_refine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    shortlist: int = 25,
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int | None = None,
+) -> DataFrame:
+    """(qid, cid, score, rank): compressed search with exact re-rank — the
+    faiss IndexRefineFlat composition over the reference's index+search
+    usage (SimCSE-Chinese-Pytorch/simcse_unsup.py:44-76). The ADC pass
+    (ivf_pq_topk) ranks the corpus from 8-byte codes and keeps a
+    `shortlist` per query; exact inner products are then computed for those
+    shortlist rows ONLY and the final top-k re-ranked on them.
+
+    Scale shape: the expensive pass never touches floats (codes + cell
+    equi-join); the raw-vector join that follows is keyed by the
+    broadcast shortlist — nq * shortlist rows — so at 100 TB the full
+    vector corpus is random-accessed for ~25 rows/query instead of
+    scanned (candidates join against a broadcast id set; queries join
+    once on qid). Quantization error affects only which rows ENTER the
+    shortlist; scores and order of the survivors are exact.
+    """
+    short = ivf_pq_topk(
+        queries, candidates, k=shortlist,
+        n_cells=n_cells, nprobe=nprobe, m=m, ks=ks, dim=dim,
+    ).select("qid", "cid")
+    pairs = candidates.join(F.broadcast(short), "cid").join(queries, "qid")
+    scored = pairs.withColumn(
+        "score",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qvec, cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+            ROUND,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score", "rank")
+    )
+
+
+def ivf_pq_refine_duck_sql(
+    queries_rel: str,
+    cand_rel: str,
+    dim: int,
+    k: int = 5,
+    shortlist: int = 25,
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> str:
+    """Exact oracle: the ADC shortlist SQL composed with list_dot_product
+    re-ranking (same rounding and (score desc, cid) ties as Spark)."""
+    short_sql = ivf_pq_topk_duck_sql(
+        queries_rel, cand_rel, dim, k=shortlist,
+        n_cells=n_cells, nprobe=nprobe, m=m, ks=ks,
+    )
+    return f"""
+WITH short AS ({short_sql})
+SELECT qid, cid, score, rank FROM (
+  SELECT s.qid, s.cid,
+         round(list_dot_product(q.qvec::DOUBLE[], c.cvec::DOUBLE[]), {ROUND}) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY s.qid
+           ORDER BY round(list_dot_product(q.qvec::DOUBLE[], c.cvec::DOUBLE[]), {ROUND}) DESC, s.cid ASC
+         ) AS INT) AS rank
+  FROM short s
+  JOIN {cand_rel} c USING (cid)
+  JOIN {queries_rel} q USING (qid)
+) WHERE rank <= {k}
+""".strip()

@@ -167,3 +167,54 @@ def test_ivf_pq_topk(spark, sf_dir):
     r_pq = recall_at_k(ivf_pq_topk(q, c, k=5, dim=64), exact, 5)
     r_ivf = recall_at_k(ivf_topk(q, c, k=5, dim=64), exact, 5)
     assert 0.0 < r_pq <= r_ivf <= 1.0, (r_pq, r_ivf)
+
+
+def test_ivf_pq_refine_topk(spark, sf_dir):
+    """Refined compressed search vs oracle; refined results are a subset of
+    the ADC shortlist with EXACT scores (each emitted score equals the true
+    inner product), and refine recall@5 >= plain ADC recall@5 (re-ranking
+    the shortlist exactly can only help at the same code budget)."""
+    from deepkg_spark.operators.similarity import (
+        ivf_pq_refine_topk,
+        ivf_pq_refine_duck_sql,
+        ivf_pq_topk,
+        recall_at_k,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    con = duck_connect(sf_dir)
+    compare_spark_duck(
+        ivf_pq_refine_topk(q, c, k=5, shortlist=25, dim=64),
+        con,
+        ivf_pq_refine_duck_sql(
+            "(SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 10 = 0)",
+            "(SELECT vec_id AS cid, embedding AS cvec FROM embeddings)",
+            dim=64,
+            k=5,
+            shortlist=25,
+        ),
+    )
+
+    refined = ivf_pq_refine_topk(q, c, k=5, shortlist=25, dim=64)
+    short = {
+        (r["qid"], r["cid"])
+        for r in ivf_pq_topk(q, c, k=25, dim=64).select("qid", "cid").collect()
+    }
+    exact_scores = {
+        (r["qid"], r["cid"]): r["score"]
+        for r in dense_topk_frame(q, c, k=10**6).collect()
+    }
+    rows = refined.collect()
+    assert rows
+    for r in rows:
+        assert (r["qid"], r["cid"]) in short
+        assert abs(r["score"] - exact_scores[(r["qid"], r["cid"])]) < 1e-9
+
+    exact = dense_topk_frame(q, c, k=5)
+    r_ref = recall_at_k(refined, exact, 5)
+    r_adc = recall_at_k(ivf_pq_topk(q, c, k=5, dim=64), exact, 5)
+    assert 0.0 < r_adc <= r_ref <= 1.0, (r_adc, r_ref)
