@@ -105,7 +105,10 @@ CASES = [
     (minhash_signatures, minhash_signatures_duck_sql, {}),
     (minhash_lsh_pairs, minhash_lsh_pairs_duck_sql, {"tau": 0.3}),
     (simhash, simhash_duck_sql, {}),
-    (simhash_pairs, simhash_pairs_duck_sql, {"max_hamming": 8}),
+    # max_hamming bounded by the 60-bit/4-band recall guarantee (<= 3);
+    # the loose 8 predates the r4 Manku banding widen and now trips the
+    # operator's pigeonhole guard by design
+    (simhash_pairs, simhash_pairs_duck_sql, {"max_hamming": 3}),
     (jaccard_pairs, jaccard_pairs_duck_sql, {"tau": 0.3}),
 ]
 
