@@ -344,31 +344,41 @@ SELECT repo, path, cls, start_idx, end_idx, score FROM (
   JOIN h hh ON hh.code = p.cb
 ) s WHERE score > {thr}
 """.strip()
-    # rope heads
+    # rope heads. The rotation q_d = Q0*cos + Q0R*sin depends only on
+    # (code, position), so it is materialized ONCE per character in `rot`
+    # (O(n) rotations) and the pair stage is a self-join computing only the
+    # per-dim products — the per-PAIR arithmetic (a.q_d * b.k_d summed
+    # d-ascending, / norm, + bias) is textually unchanged, so the doubles
+    # are bitwise identical to the unfactored form; only O(n^2) redundant
+    # rotation work is removed (this cut the sf0.01 oracle severalfold).
     hs_ = t["HS"]
     norm = f"{t['NORM']:.16e}"
     qnames = [f"q{d}" for d in range(hs_)] + [f"r{d}" for d in range(hs_)] + \
              [f"k{d}" for d in range(hs_)] + [f"t{d}" for d in range(hs_)]
-    dot = " + ".join(
-        f"(qa.q{d} * pa.c{d} + qa.r{d} * pa.s{d}) * "
-        f"(qb.k{d} * pb.c{d} + qb.t{d} * pb.s{d})"
+    rot_cols = ", ".join(
+        f"qk.q{d} * p.c{d} + qk.r{d} * p.s{d} AS q{d}, "
+        f"qk.k{d} * p.c{d} + qk.t{d} * p.s{d} AS k{d}"
         for d in range(hs_)
     )
+    pair_dot = " + ".join(f"a.q{d} * b.k{d}" for d in range(hs_))
     pos_cte = _pos_table(t["COS"], t["SIN"], hs_)
     if t["BIAS"] is None:
         qk_cte = _cls_table([t["Q0"], t["Q0R"], t["K0"], t["K0R"]], qnames, "qk")
         return f"""
 WITH {_chars_cte(corpus_rel)},
 {qk_cte},
-{pos_cte}
+{pos_cte},
+rot AS MATERIALIZED (
+  SELECT c.repo, c.path, c.pos, qk.cls, {rot_cols}
+  FROM chars c
+  JOIN qk ON qk.code = c.code
+  JOIN pos p ON p.pos = c.pos
+)
 SELECT repo, path, cls, start_idx, end_idx, score FROM (
-  SELECT p.repo, p.path, CAST(qa.cls AS INT) AS cls,
-         p.start_idx, p.end_idx, ({dot}) / {norm} AS score
-  FROM pairs p
-  JOIN qk qa ON qa.code = p.ca
-  JOIN qk qb ON qb.code = p.cb AND qb.cls = qa.cls
-  JOIN pos pa ON pa.pos = p.start_idx
-  JOIN pos pb ON pb.pos = p.end_idx
+  SELECT a.repo, a.path, CAST(a.cls AS INT) AS cls,
+         a.pos AS start_idx, b.pos AS end_idx, ({pair_dot}) / {norm} AS score
+  FROM rot a JOIN rot b
+    ON a.repo = b.repo AND a.path = b.path AND a.cls = b.cls AND a.pos <= b.pos
 ) s WHERE score > {thr}
 """.strip()
     # efficient_gp: shared projection + per-class rank-1 bias. The dot is
@@ -380,6 +390,12 @@ SELECT repo, path, cls, start_idx, end_idx, score FROM (
     # path's op order exactly (m = m/norm; m = m + outer_bias/2.0).
     qk_cte = _code_table([t["Q0"][0], t["Q0R"][0], t["K0"][0], t["K0R"][0]], qnames, "qk")
     bias_cte = _code_table([t["BIAS"]], [f"b{c}" for c in range(t["C"])], "bias")
+    # exactness-preserving prune before the class fan-out: score <= base +
+    # max_c max_code BIAS, so base <= thr - maxb can never clear thr for any
+    # class; the 1e-6 margin dwarfs double rounding at these magnitudes and
+    # only keeps extra rows (never drops a survivor)
+    maxb = float(t["BIAS"][:SQL_CODES].max())
+    prune = f"{t['thr'] - maxb - 1e-6:.16e}"
     pick = lambda al: (  # noqa: E731 — tiny local SQL helper
         "CASE cl.cls " + " ".join(
             f"WHEN {c} THEN {al}.b{c}" for c in range(t["C"])
@@ -392,14 +408,18 @@ WITH {_chars_cte(corpus_rel)},
 {bias_cte},
 {pos_cte},
 cl(cls) AS (SELECT * FROM (VALUES {cls_rows}) v),
+rot AS MATERIALIZED (
+  SELECT c.repo, c.path, c.pos, c.code, {rot_cols}
+  FROM chars c
+  JOIN qk ON qk.code = c.code
+  JOIN pos p ON p.pos = c.pos
+),
 base AS MATERIALIZED (
-  SELECT p.repo, p.path, p.start_idx, p.end_idx, p.ca, p.cb,
-         ({dot}) / {norm} AS base
-  FROM pairs p
-  JOIN qk qa ON qa.code = p.ca
-  JOIN qk qb ON qb.code = p.cb
-  JOIN pos pa ON pa.pos = p.start_idx
-  JOIN pos pb ON pb.pos = p.end_idx
+  SELECT a.repo, a.path, a.pos AS start_idx, b.pos AS end_idx,
+         a.code AS ca, b.code AS cb, ({pair_dot}) / {norm} AS base
+  FROM rot a JOIN rot b
+    ON a.repo = b.repo AND a.path = b.path AND a.pos <= b.pos
+  WHERE ({pair_dot}) / {norm} > {prune}
 )
 SELECT repo, path, cls, start_idx, end_idx, score FROM (
   SELECT s.repo, s.path, CAST(cl.cls AS INT) AS cls,
