@@ -7,13 +7,16 @@ spark-warehouse/ into the repo root).
 """
 
 import json
+import pathlib
 import subprocess
 import sys
 import tempfile
 
+REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+
 SCRIPT = r"""
 import json, sys
-sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+sys.path.insert(0, sys.argv[3])  # repo root from the parent (python -c has no __file__)
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from deepkg_spark.sources.io import write_bucketed
@@ -59,7 +62,7 @@ spark.stop()
 def test_bucketed_join_skips_shuffle(sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
         out = subprocess.run(
-            [sys.executable, "-c", SCRIPT, f"{tmp}/warehouse", sf_dir],
+            [sys.executable, "-c", SCRIPT, f"{tmp}/warehouse", sf_dir, REPO_ROOT],
             capture_output=True, text=True, timeout=420,
         )
         assert out.returncode == 0, out.stderr[-3000:]
