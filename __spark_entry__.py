@@ -142,6 +142,7 @@ from deepkg_spark.operators.phrases import phrase_candidates as _phrase_cand_for
 from deepkg_spark.operators.phrases import (
     phrase_features,
     phrase_features_duck_sql,
+    phrase_quality_duck_sql,
     phrase_quality_scores,
 )
 from deepkg_spark.operators.sel import (
@@ -1094,11 +1095,20 @@ def _q_events_closest(spark, sf_dir):
 
 
 def _q_phrase_quality(spark, sf_dir):
-    """AutoPhrase distant-supervision loop (driver-side numpy classifier over
-    distributed stats; training loop not SQL-expressible -> rows-only).
-    One cached ngram_stats table feeds BOTH the quality-dictionary mining
-    (max_n=2 slice) and the feature table — a single corpus scan for the
-    whole loop."""
+    """AutoPhrase distant-supervision loop (autophrase.py:53-56, 168-228):
+    distributed feature aggregation -> capped candidate table -> driver-side
+    boosted-stump classifier -> threshold promotion, iterated. Round 5
+    switched the classifier to the cross-engine-deterministic "stumps_q"
+    variant (rational sigmoid + dyadic-grid quantized sums, see
+    phrases._fit_boosted_stumps_q), which makes the ENTIRE loop — training
+    included — expressible as an exact DuckDB oracle
+    (phrases.phrase_quality_duck_sql): the formerly rows-only query is now
+    hash-checked end to end. threshold=0.6 sits below the top negative-pool
+    scores at test scale so the promotion recursion genuinely executes
+    (the reference's threshold is likewise a tuning knob). One cached
+    ngram_stats table feeds BOTH the quality-dictionary mining (max_n=2
+    slice) and the feature table — a single corpus scan for the whole
+    loop."""
     docs = _docs(spark, sf_dir)
     stats = ngram_stats(docs, 3).cache()
     quality = {
@@ -1107,7 +1117,9 @@ def _q_phrase_quality(spark, sf_dir):
             docs, min_freq=5, min_len=2, max_n=2, topk=10, stats=stats
         ).collect()
     }
-    pdf = phrase_quality_scores(docs, quality, stats=stats)
+    pdf = phrase_quality_scores(
+        docs, quality, stats=stats, classifier="stumps_q", threshold=0.6
+    )
     stats.unpersist()
     return spark.createDataFrame(pdf.assign(round_promoted=pdf["round_promoted"].astype(int)))
 
@@ -1461,6 +1473,15 @@ FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
         "ph_idf": idf_duck_sql("documents", 2),
         "ph_entropy": neighbor_entropy_duck_sql("documents", 2),
         "ph_candidates": phrase_candidates_duck_sql("documents"),
+        # the full distant-supervision loop, training included (round 5:
+        # the last formerly-rows-only query; see _q_phrase_quality)
+        "ph_quality_loop": phrase_quality_duck_sql(
+            "documents",
+            phrase_candidates_duck_sql(
+                "documents", min_freq=5, min_len=2, max_n=2, topk=10
+            ),
+            threshold=0.6,
+        ),
         "ph_features": phrase_features_duck_sql("documents", max_n=3, min_freq=3),
         "kg_sel_roundtrip": _with_corpus(
             "SELECT repo, path, subj, subj_type, pred, obj, obj_type FROM ("

@@ -411,6 +411,92 @@ def _fit_boosted_stumps(
     return predict_margin
 
 
+# ---- cross-engine-deterministic boosted stumps ("stumps_q") -----------------
+#
+# Same inductive bias as _fit_boosted_stumps (Friedman depth-1 gradient
+# boosting on deviance, the reference's sklearn GBDT shape,
+# AutoPhraseX-main/autophrasex/autophrase.py:53-56), with two substitutions
+# that make every intermediate REPRODUCIBLE ACROSS ENGINES so the whole
+# training loop admits an exact DuckDB oracle (phrase_quality_duck_sql):
+#
+# 1. rational sigmoid  s(z) = 0.5 + z / (2 * (1 + |z|))  instead of the
+#    logistic — built only from IEEE-754 + - * / abs, which are CORRECTLY
+#    ROUNDED and therefore bit-identical in numpy and DuckDB, unlike exp()
+#    (libm-dependent). Monotone, s(0)=0.5, range (0,1): the same link shape.
+# 2. residuals / hessians / squared residuals are quantized to the dyadic
+#    grid 2^-24 before any summation: every addend is an exact multiple of
+#    2^-24 with |sum| < 2^36, so EVERY partial sum in ANY association order
+#    is exactly representable — sums become order-independent EXACT values.
+#    numpy's pairwise sums, Spark's any-order aggregation and DuckDB's
+#    window/group sums all produce the same bits.
+#
+# Everything else (split SSE formula, first-best tie-breaks, Newton leaves,
+# midpoint thresholds) is kept operation-for-operation identical to the SQL
+# twin, so the full 5-round promotion loop matches bitwise.
+
+_QGRID = 16777216.0  # 2^24
+
+
+def _q24(x: np.ndarray) -> np.ndarray:
+    """Round to the 2^-24 dyadic grid via floor(x*2^24 + 0.5)/2^24 — each
+    step a single IEEE op (scaling by a power of two is exact), so both
+    engines land on the same grid point."""
+    return np.floor(x * _QGRID + 0.5) / _QGRID
+
+
+def _sig_rat(z: np.ndarray) -> np.ndarray:
+    """Rational sigmoid: only correctly-rounded IEEE ops, no libm."""
+    return 0.5 + z / (2.0 * (1.0 + np.abs(z)))
+
+
+def _fit_boosted_stumps_q(
+    X: np.ndarray, y: np.ndarray, n_estimators: int = 25, lr: float = 0.3
+) -> np.ndarray:
+    """Deterministic-across-engines variant of _fit_boosted_stumps; returns
+    the final margin of the TRAINING rows (the quality loop only ever scores
+    its own candidate table). Features are consumed RAW: depth-1 threshold
+    splits are invariant under per-feature monotone transforms, so the
+    z-normalization of the legacy path is a no-op for stumps and is skipped
+    (it would re-introduce order-dependent mean/std sums)."""
+    n = len(y)
+    p0 = min(max(y.mean(), 1e-6), 1.0 - 1e-6)
+    u = 2.0 * p0 - 1.0
+    f0 = u / (1.0 - abs(u))  # inverse of the rational sigmoid at p0
+    margin = np.full(n, f0)
+    order = [np.argsort(X[:, j], kind="stable") for j in range(X.shape[1])]
+    for _ in range(n_estimators):
+        p = _sig_rat(margin)
+        r = _q24(y - p)
+        h = _q24(p * (1.0 - p))
+        rsq = _q24(r * r)
+        best = None  # (sse, j, thr)
+        for j in range(X.shape[1]):
+            xs = X[order[j], j]
+            csum = np.cumsum(r[order[j]])
+            csq = np.cumsum(rsq[order[j]])
+            total, total_sq = csum[-1], csq[-1]
+            cut = np.nonzero(xs[1:] > xs[:-1])[0]
+            if cut.size == 0:
+                continue
+            nl = cut + 1.0
+            nr = n - nl
+            sl = csum[cut]
+            sse = (csq[cut] - sl * sl / nl) + (
+                (total_sq - csq[cut]) - (total - sl) * (total - sl) / nr
+            )
+            k = int(np.argmin(sse))
+            if best is None or sse[k] < best[0]:
+                best = (float(sse[k]), j, (xs[cut[k]] + xs[cut[k] + 1]) / 2.0)
+        if best is None:
+            break
+        _, j, thr = best
+        left = X[:, j] <= thr
+        gl = r[left].sum() / max(h[left].sum(), 1e-12)
+        gr = r[~left].sum() / max(h[~left].sum(), 1e-12)
+        margin = margin + np.where(left, lr * gl, lr * gr)
+    return margin
+
+
 def phrase_quality_scores(
     docs: DataFrame,
     quality_phrases: set[str],
@@ -457,17 +543,22 @@ def phrase_quality_scores(
     )
     cols = ["freq", "doc_freq", "pmi", "idf", "left_entropy", "right_entropy"]
     X = feats[cols].to_numpy(dtype=np.float64)
-    mu, sd = X.mean(axis=0), X.std(axis=0)
-    sd[sd == 0] = 1.0
-    X = (X - mu) / sd
-    X = np.hstack([X, np.ones((len(X), 1))])
+    if classifier != "stumps_q":
+        # stumps are invariant to per-feature monotone transforms; the
+        # certified variant skips normalization (see _fit_boosted_stumps_q)
+        mu, sd = X.mean(axis=0), X.std(axis=0)
+        sd[sd == 0] = 1.0
+        X = (X - mu) / sd
+        X = np.hstack([X, np.ones((len(X), 1))])
     pos = feats["ngram"].isin(quality_phrases).to_numpy()
     promoted_round = np.where(pos, 0, -1)
 
-    if classifier not in ("stumps", "logistic"):
+    if classifier not in ("stumps", "stumps_q", "logistic"):
         raise ValueError(f"unknown classifier {classifier!r}")
 
     def fit_predict(y: np.ndarray) -> np.ndarray:
+        if classifier == "stumps_q":
+            return _fit_boosted_stumps_q(X, y)
         if classifier == "stumps":
             return _fit_boosted_stumps(X, y)(X)
         w = np.zeros(X.shape[1])
@@ -476,12 +567,17 @@ def phrase_quality_scores(
             w -= lr * (X.T @ (z - y)) / len(y)
         return X @ w
 
+    def link(m: np.ndarray) -> np.ndarray:
+        if classifier == "stumps_q":
+            return _sig_rat(m)
+        return 1.0 / (1.0 + np.exp(-np.clip(m, -500, 500)))
+
     prob = np.zeros(len(X))
     for rnd in range(1, max_rounds + 1):
         y = pos.astype(np.float64)
         if y.sum() == 0 or y.sum() == len(y):
             break
-        prob = 1.0 / (1.0 + np.exp(-np.clip(fit_predict(y), -500, 500)))
+        prob = link(fit_predict(y))
         promote = (~pos) & (prob > threshold)
         if not promote.any():
             break
@@ -530,6 +626,184 @@ def phrase_candidates(
         .limit(topk)
         .select("ngram", "n", "freq")
     )
+
+
+def _D(v: float | int) -> str:
+    """A DOUBLE literal DuckDB parses to the exact same IEEE double numpy
+    holds (bare decimal literals parse as DECIMAL in DuckDB 1.x — every
+    constant must be cast)."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def _sig_sql(m: str) -> str:
+    """SQL twin of _sig_rat, operation-for-operation."""
+    return f"({_D(0.5)} + {m} / ({_D(2.0)} * ({_D(1.0)} + abs({m}))))"
+
+
+def _q24_sql(x: str) -> str:
+    """SQL twin of _q24, operation-for-operation."""
+    return f"(floor(({x}) * {_D(_QGRID)} + {_D(0.5)}) / {_D(_QGRID)})"
+
+
+def _fit_cte_sql(r: int, n_estimators: int, lr: float) -> str:
+    """One boosting fit as a recursive CTE over per-candidate margins.
+
+    Mirrors _fit_boosted_stumps_q bitwise: the recursive working table is
+    (it, ngram, margin); each iteration derives quantized residuals /
+    hessians (exact dyadic sums -> association-order-free), scores every
+    strict-increase split boundary with the identical SSE expression, picks
+    the global lexicographic (sse, j, x) minimum (== numpy's
+    first-min-per-feature + strict-< across features), and applies the
+    Newton leaf values through the same CASE the numpy np.where applies.
+    Termination mirrors the `best is None` break: no candidate boundaries
+    -> the recursive term yields zero rows and m{r} reads max(it)."""
+    sig_b = _sig_sql("b.margin")
+    return f"""
+fit{r} AS (
+  SELECT 0 AS it, ngram, (SELECT f0 FROM f0_{r}) AS margin FROM lab{r}
+  UNION ALL
+  SELECT * FROM (
+    WITH w AS MATERIALIZED (
+      SELECT b.it, b.ngram, b.margin, l.y, {sig_b} AS p
+      FROM fit{r} b JOIN lab{r} l USING (ngram)
+      WHERE b.it < {n_estimators}
+    ),
+    rq AS MATERIALIZED (
+      SELECT it, ngram, margin, r,
+             {_q24_sql('r * r')} AS rsq,
+             {_q24_sql(f'p * ({_D(1.0)} - p)')} AS h
+      FROM (SELECT *, {_q24_sql('y - p')} AS r FROM w)
+    ),
+    tot AS MATERIALIZED (
+      SELECT sum(r) AS tr, sum(rsq) AS tq, CAST(count(*) AS DOUBLE) AS tn FROM rq
+    ),
+    vals AS MATERIALIZED (
+      SELECT f.j, f.x, sum(q.r) AS sr, sum(q.rsq) AS sq, count(*) AS c
+      FROM rq q JOIN feat f USING (ngram) GROUP BY f.j, f.x
+    ),
+    cum AS MATERIALIZED (
+      SELECT j, x,
+             sum(sr) OVER (PARTITION BY j ORDER BY x) AS sl,
+             sum(sq) OVER (PARTITION BY j ORDER BY x) AS sq2,
+             CAST(sum(c) OVER (PARTITION BY j ORDER BY x) AS DOUBLE) AS nl,
+             lead(x) OVER (PARTITION BY j ORDER BY x) AS nx
+      FROM vals
+    ),
+    best AS MATERIALIZED (
+      SELECT j, (x + nx) / {_D(2.0)} AS thr
+      FROM cum CROSS JOIN tot
+      WHERE nx IS NOT NULL
+      ORDER BY (sq2 - sl * sl / nl)
+               + ((tq - sq2) - (tr - sl) * (tr - sl) / (tn - nl)) ASC,
+               j ASC, x ASC
+      LIMIT 1
+    ),
+    leaves AS MATERIALIZED (
+      SELECT coalesce(sum(q.r) FILTER (WHERE f.x <= b.thr), {_D(0.0)})
+               / greatest(coalesce(sum(q.h) FILTER (WHERE f.x <= b.thr), {_D(0.0)}), {_D(1e-12)}) AS gl,
+             coalesce(sum(q.r) FILTER (WHERE NOT (f.x <= b.thr)), {_D(0.0)})
+               / greatest(coalesce(sum(q.h) FILTER (WHERE NOT (f.x <= b.thr)), {_D(0.0)}), {_D(1e-12)}) AS gr
+      FROM rq q JOIN feat f USING (ngram) CROSS JOIN best b
+      WHERE f.j = b.j
+    )
+    SELECT q.it + 1 AS it, q.ngram,
+           q.margin + (CASE WHEN f.x <= b.thr THEN {_D(lr)} * l.gl ELSE {_D(lr)} * l.gr END) AS margin
+    FROM rq q JOIN feat f USING (ngram) CROSS JOIN best b CROSS JOIN leaves l
+    WHERE f.j = b.j
+  )
+)""".strip()
+
+
+def phrase_quality_duck_sql(
+    docs_rel: str,
+    quality_sql: str,
+    max_n: int = 3,
+    min_freq: int = 3,
+    threshold: float = 0.9,
+    max_rounds: int = 5,
+    topk: int = 10_000,
+    n_estimators: int = 25,
+    lr: float = 0.3,
+) -> str:
+    """Exact DuckDB twin of phrase_quality_scores(classifier="stumps_q"):
+    the ENTIRE AutoPhrase distant-supervision loop — capped feature table,
+    per-round boosted-stump fits, threshold promotion
+    (autophrasex/autophrase.py:53-56, 168-228 semantics) — as one SQL
+    statement, max_rounds unrolled with one recursive CTE per fit.
+
+    Cross-engine equality is engineered, not hoped for (see the
+    _fit_boosted_stumps_q block comment): the rational sigmoid keeps every
+    op correctly-rounded IEEE, the 2^-24 quantization grid makes every sum
+    exact in any association order, and Python's early `break`s are
+    replaced by their fixpoint equivalents — identical labels refit to
+    identical margins, so running all max_rounds unconditionally returns
+    the same rows Python returns after breaking (degenerate label pools
+    are guarded with the `deg` flag, under which a round passes the prior
+    round's probabilities through unchanged and promotes nothing).
+
+    `quality_sql` is any query yielding the seed dictionary's ngrams."""
+    blocks = [
+        f"""featsall AS MATERIALIZED ({phrase_features_duck_sql(docs_rel, max_n, min_freq)}),
+cap AS MATERIALIZED (
+  SELECT ngram, freq, doc_freq, pmi, idf, left_entropy, right_entropy
+  FROM (SELECT *, row_number() OVER (ORDER BY freq DESC, ngram ASC) AS rn
+        FROM featsall)
+  WHERE rn <= {topk}
+),
+qd AS MATERIALIZED (SELECT ngram FROM ({quality_sql})),
+feat AS MATERIALIZED (
+  SELECT ngram, 0 AS j, CAST(freq AS DOUBLE) AS x FROM cap
+  UNION ALL SELECT ngram, 1, CAST(doc_freq AS DOUBLE) FROM cap
+  UNION ALL SELECT ngram, 2, pmi FROM cap
+  UNION ALL SELECT ngram, 3, idf FROM cap
+  UNION ALL SELECT ngram, 4, left_entropy FROM cap
+  UNION ALL SELECT ngram, 5, right_entropy FROM cap
+),
+st0 AS MATERIALIZED (
+  SELECT c.ngram, (q.ngram IS NOT NULL) AS pos, {_D(0.0)} AS prob,
+         CASE WHEN q.ngram IS NOT NULL THEN 0 ELSE -1 END AS rp
+  FROM cap c LEFT JOIN qd q USING (ngram)
+)""".strip()
+    ]
+    for r in range(1, max_rounds + 1):
+        sig_m = _sig_sql("m.margin")
+        blocks.append(
+            f"""lab{r} AS MATERIALIZED (
+  SELECT ngram, CASE WHEN pos THEN {_D(1.0)} ELSE {_D(0.0)} END AS y FROM st{r - 1}
+),
+f0_{r} AS MATERIALIZED (
+  SELECT u / ({_D(1.0)} - abs(u)) AS f0, deg FROM (
+    SELECT {_D(2.0)} * least(greatest(sy / nn, {_D(1e-6)}), {_D(1.0 - 1e-6)}) - {_D(1.0)} AS u,
+           (sy <= {_D(0.0)} OR sy >= nn) AS deg
+    FROM (SELECT sum(y) AS sy, CAST(count(*) AS DOUBLE) AS nn FROM lab{r})
+  )
+),
+{_fit_cte_sql(r, n_estimators, lr)},
+m{r} AS MATERIALIZED (
+  SELECT ngram, margin FROM fit{r} WHERE it = (SELECT max(it) FROM fit{r})
+),
+st{r} AS MATERIALIZED (
+  SELECT ngram, pos OR promote AS pos, prob,
+         CASE WHEN promote THEN {r} ELSE rp END AS rp
+  FROM (
+    SELECT s.ngram, s.pos, s.rp,
+           CASE WHEN (SELECT deg FROM f0_{r}) THEN s.prob ELSE {sig_m} END AS prob,
+           (NOT s.pos) AND (NOT (SELECT deg FROM f0_{r}))
+             AND (CASE WHEN (SELECT deg FROM f0_{r}) THEN s.prob ELSE {sig_m} END
+                  > {_D(threshold)}) AS promote
+    FROM st{r - 1} s JOIN m{r} m USING (ngram)
+  )
+)""".strip()
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH RECURSIVE
+{body}
+SELECT ngram, round(prob, {ROUND}) AS prob, pos AS is_quality,
+       CAST(rp AS BIGINT) AS round_promoted
+FROM st{max_rounds}
+ORDER BY round(prob, {ROUND}) DESC, ngram ASC
+""".strip()
 
 
 def phrase_candidates_duck_sql(

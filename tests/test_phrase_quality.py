@@ -80,3 +80,38 @@ def test_quality_loop_stumps_vs_logistic(spark, sf_dir):
     assert not stumps["prob"].equals(logistic["prob"])
     # determinism of the default path is covered by test_quality_loop_deterministic
     assert (stumps["prob"] <= 1.0).all() and (stumps["prob"] >= 0.0).all()
+
+
+def test_quality_loop_stumps_q_exact_oracle(spark, sf_dir):
+    """Round 5: the registered ph_quality_loop (classifier="stumps_q") must
+    match its DuckDB oracle EXACTLY — training loop included. This is the
+    local replica of the driver's hash check for the last formerly
+    rows-only query: rational-sigmoid link + 2^-24-grid quantized sums make
+    every margin bit-identical across numpy and DuckDB (see
+    _fit_boosted_stumps_q), and the recursive-CTE oracle unrolls all five
+    promotion rounds."""
+    import importlib
+
+    from tests.compare import compare_spark_duck, duck_connect
+
+    entrymod = importlib.import_module("__spark_entry__")
+    df = entrymod.queries()["ph_quality_loop"](spark, sf_dir)
+    compare_spark_duck(df, duck_connect(sf_dir), entrymod.oracle_sql()["ph_quality_loop"])
+
+
+def test_stumps_q_exercises_promotion(spark, sf_dir):
+    """threshold=0.6 in the registered query is below the top negative-pool
+    scores, so the promotion recursion genuinely executes (at least one
+    non-seed candidate gets promoted in some round) — without this the
+    multi-round unrolled oracle would only ever certify its fixpoint
+    branch."""
+    from deepkg_spark.operators.phrases import phrase_candidates, phrase_quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    quality = {
+        r["ngram"]
+        for r in phrase_candidates(docs, min_freq=5, min_len=2, max_n=2, topk=10).collect()
+    }
+    out = phrase_quality_scores(docs, quality, classifier="stumps_q", threshold=0.6)
+    assert (out["round_promoted"] > 0).any()
+    assert set(out[out["round_promoted"] == 0]["ngram"]) == quality

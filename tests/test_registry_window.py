@@ -71,9 +71,11 @@ def test_every_window_query_has_oracle_or_is_rows_only():
     window slots."""
     entrymod, manifest = _load()
     oracles = set(entrymod.oracle_sql().keys())
-    # round 5 oracle-certified the four factored scorer heads and the DP
-    # segmenter; only the driver-loop classifier remains rows-only
-    rows_only = {"ph_quality_loop"}
+    # round 5 oracle-certified every formerly rows-only query: the four
+    # factored scorer heads, the DP segmenter, and finally the quality-loop
+    # classifier itself (stumps_q + phrase_quality_duck_sql) — the rows-only
+    # set is empty
+    rows_only: set[str] = set()
     newest = sorted(manifest)[-1]
     missing = [q for q in manifest[newest] if q not in oracles | rows_only]
     assert missing == [], missing
