@@ -637,44 +637,59 @@ def profile_quantiles(
 
     Deliberately NOT Spark's `percentile()` aggregate (which buffers every
     value of a group in executor memory — a non-starter on a 100 TB column):
-    the same cumulative-count formulation as sts_spearman_ties. One melt ->
-    (col, val) counts (partial-aggregable, skew-safe: hot values collapse
-    to one row) -> per-column cumulative counts over DISTINCT values ->
-    each quantile p reads the two bracketing values at continuous index
-    p*(n-1) and interpolates. The only windows are partitioned per column
-    over distinct values. For columns with billions of distinct values,
-    swap to approx_percentile (t-digest) — here it stays exact so the
-    DuckDB twin (same formulation) matches bit-for-bit.
+    the same cumulative-count formulation as sts_spearman_ties: per-column
+    (val) counts (partial-aggregable, skew-safe: hot values collapse to one
+    row) -> cumulative counts over DISTINCT values -> each quantile p reads
+    the two bracketing values at continuous index p*(n-1) and interpolates.
+    For columns with billions of distinct values, swap to approx_percentile
+    (t-digest) — here it stays exact so the DuckDB twin (same formulation)
+    matches bit-for-bit.
+
+    Plan shape: one INDEPENDENT branch per column, unioned at the end.
+    Each branch prunes the scan to its single column (total I/O equals one
+    multi-column scan), aggregates on a bare double key (no per-row string
+    tag, no 8x explode), and the branches run concurrently — on a single
+    input file whose row-group count caps row-parallelism, column-parallel
+    branches still fill the cluster. The per-column total n is NOT a
+    separate aggregation (that formulation planned the melt subtree twice
+    and sort-merge-joined on the column name): n == max(cum), read by a
+    second window over the same single-column partition. The cumulative
+    window funnels one column's distinct values through one task — the
+    same bound as the previous partition-by-col_name plan, and the reason
+    the billions-distinct regime belongs to approx_percentile.
     """
     from pyspark.sql import Window
 
-    exprs = [
-        f"struct('{_sql_quote(c)}' AS col_name, CAST({c} AS DOUBLE) AS val)"
-        for c in num_cols
-    ]
-    melted = df.selectExpr(f"explode(array({', '.join(exprs)})) AS m").select(
-        F.col("m.col_name").alias("col_name"), F.col("m.val").alias("val")
-    ).filter(F.col("val").isNotNull())
-    cnt = melted.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("col_name").orderBy("val")
-    cum = cnt.withColumn("cum", F.sum("c").over(w))
-    tot = cnt.groupBy("col_name").agg(F.sum("c").cast("bigint").alias("n"))
-    j = cum.join(tot, "col_name")
-    aggs = [F.max("n").cast("bigint").alias("n")]
-    for p in qs:
-        # continuous index k = p*(n-1); bracketing values live at row
-        # indices floor(k) and ceil(k); a value with cumulative count cum
-        # covers 0-based row indices [cum - c, cum - 1]. Per-row n feeds
-        # the aggregate ARGUMENTS; the group-level frac must re-derive n
-        # through an aggregate (max) to satisfy both engines' analyzers.
-        k = F.lit(p) * (F.col("n") - 1)
-        lo = F.min(F.when(F.col("cum") >= F.floor(k) + 1, F.col("val")))
-        hi = F.min(F.when(F.col("cum") >= F.ceil(k) + 1, F.col("val")))
-        k_g = F.lit(p) * (F.max("n") - 1)
-        frac = k_g - F.floor(k_g)
-        name = f"q_{str(p).replace('0.', '')}"
-        aggs.append(F.round(lo + frac * (hi - lo), ROUND).alias(name))
-    return j.groupBy("col_name").agg(*aggs)
+    outs = []
+    for c in num_cols:
+        vals = df.selectExpr(f"CAST({c} AS DOUBLE) AS val").filter(
+            F.col("val").isNotNull()
+        )
+        cnt = vals.groupBy("val").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy(F.lit(0)).orderBy("val")
+        cum = cnt.withColumn("cum", F.sum("c").over(w))
+        j = cum.withColumn(
+            "n", F.max("cum").over(Window.partitionBy(F.lit(0))).cast("bigint")
+        )
+        aggs = [F.max("n").cast("bigint").alias("n")]
+        for p in qs:
+            # continuous index k = p*(n-1); bracketing values live at row
+            # indices floor(k) and ceil(k); a value with cumulative count cum
+            # covers 0-based row indices [cum - c, cum - 1]. Per-row n feeds
+            # the aggregate ARGUMENTS; the group-level frac must re-derive n
+            # through an aggregate (max) to satisfy both engines' analyzers.
+            k = F.lit(p) * (F.col("n") - 1)
+            lo = F.min(F.when(F.col("cum") >= F.floor(k) + 1, F.col("val")))
+            hi = F.min(F.when(F.col("cum") >= F.ceil(k) + 1, F.col("val")))
+            k_g = F.lit(p) * (F.max("n") - 1)
+            frac = k_g - F.floor(k_g)
+            name = f"q_{str(p).replace('0.', '')}"
+            aggs.append(F.round(lo + frac * (hi - lo), ROUND).alias(name))
+        outs.append(j.agg(*aggs).select(F.lit(c).alias("col_name"), "*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def profile_quantiles_duck_sql(

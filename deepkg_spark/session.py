@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DEEPKG_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # scan-parallelism FLOOR derived from the session's core count: a
+        # single sub-128MB input file must not serialize its whole narrow
+        # stage onto 1-2 tasks (the optimization guide's input-skew case).
+        # Scale-adaptive by construction — on a cluster `cpus` is the total
+        # executor core count, and AQE still coalesces the other direction.
+        # Parquet caps effective parallelism at the file's row-group count.
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("DEEPKG_MIN_PARTITION_NUM", str(cpus)))
     )
     if _LOCAL_DIR:
         os.makedirs(_LOCAL_DIR, exist_ok=True)
