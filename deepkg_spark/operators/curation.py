@@ -35,6 +35,7 @@ utils/tools.py:17-22 pins seeds).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -650,13 +651,19 @@ def profile_quantiles(
     multi-column scan), aggregates on a bare double key (no per-row string
     tag, no 8x explode), and the branches run concurrently — on a single
     input file whose row-group count caps row-parallelism, column-parallel
-    branches still fill the cluster. The per-column total n is NOT a
-    separate aggregation (that formulation planned the melt subtree twice
-    and sort-merge-joined on the column name): n == max(cum), read by a
-    second window over the same single-column partition. The cumulative
-    window funnels one column's distinct values through one task — the
-    same bound as the previous partition-by-col_name plan, and the reason
-    the billions-distinct regime belongs to approx_percentile.
+    branches still fill the cluster. (The former single-melt formulation
+    additionally planned its subtree twice for a tot-join and
+    sort-merge-joined on the column name.)
+
+    The cumulative window funnels one column's distinct values through one
+    task — the same bound as the previous partition-by-col_name plan, and
+    the reason the billions-distinct regime belongs to approx_percentile.
+    n == max(cum) == sum(c) over the whole partition: phrased as the
+    whole-partition sum so BOTH window expressions sit in one select and
+    compile to a single Window operator (two frames, one sort, one pass)
+    instead of two stacked Window operators. (A two-stage Arrow variant —
+    per-partition np.unique runs merged in one Python task — was measured
+    2-4x SLOWER than this JVM window at sf1.0; see OPTIMIZATION_r06.md.)
     """
     from pyspark.sql import Window
 
@@ -667,9 +674,13 @@ def profile_quantiles(
         )
         cnt = vals.groupBy("val").agg(F.count(F.lit(1)).alias("c"))
         w = Window.partitionBy(F.lit(0)).orderBy("val")
-        cum = cnt.withColumn("cum", F.sum("c").over(w))
-        j = cum.withColumn(
-            "n", F.max("cum").over(Window.partitionBy(F.lit(0))).cast("bigint")
+        j = cnt.select(
+            "val",
+            "c",
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(Window.partitionBy(F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
         )
         aggs = [F.max("n").cast("bigint").alias("n")]
         for p in qs:
@@ -685,7 +696,11 @@ def profile_quantiles(
             frac = k_g - F.floor(k_g)
             name = f"q_{str(p).replace('0.', '')}"
             aggs.append(F.round(lo + frac * (hi - lo), ROUND).alias(name))
-        outs.append(j.agg(*aggs).select(F.lit(c).alias("col_name"), "*"))
+        outs.append(
+            j.agg(*aggs)
+            .where(F.col("n").isNotNull())
+            .select(F.lit(c).alias("col_name"), "*")
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

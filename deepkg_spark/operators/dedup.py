@@ -87,9 +87,15 @@ def _shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     ).distinct()
 
 
-def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, mh0..mh15): one groupBy, 16 algebraic min aggregates."""
-    sh = _shingles(docs, n).withColumn("h", F.expr(spark_h31("sh")))
+def minhash_signatures(
+    docs: DataFrame, n: int = SHINGLE_N, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, mh0..mh15): one groupBy, 16 algebraic min aggregates.
+    Pass `shingles` to reuse an already-computed (persisted) _shingles
+    frame instead of re-running the tokenize+shingle+distinct pass."""
+    sh = (shingles if shingles is not None else _shingles(docs, n)).withColumn(
+        "h", F.expr(spark_h31("sh"))
+    )
     aggs = [
         F.min(F.expr(f"({a}L * h + {b}L) % {MERSENNE31}L")).alias(f"mh{i}")
         for i, (a, b) in enumerate(COEFFS)
@@ -127,8 +133,12 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= tau.
     """
     # signatures and shingles feed multiple joins below: persist both, or a
-    # self-join recomputes the full shingle scan once per reference
-    sig = minhash_signatures(docs, n).persist()
+    # self-join recomputes the full shingle scan once per reference. The
+    # SAME persisted shingle frame feeds the signature computation too —
+    # previously the tokenize+shingle+distinct pass (the dominant narrow
+    # stage) ran once for the signatures and again for the verify join.
+    sh = _shingles(docs, n).persist()
+    sig = minhash_signatures(docs, n, shingles=sh).persist()
     band_structs = ", ".join(
         f"struct({b} AS band_id, {key} AS band_key)"
         for b, key in enumerate(_band_key_exprs())
@@ -149,7 +159,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = _shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")

@@ -126,21 +126,20 @@ def asof_join(
     """
     from pyspark.sql import Window
 
-    # tag 0 = right (visible to same-ts lefts), 1 = left
-    tagged = events.filter(F.col("event_type") == right_type).select(
+    # tag 0 = right (visible to same-ts lefts), 1 = left. ONE scan with a
+    # tag expression — the former union of two filtered branches read the
+    # input twice (the pushed-down filters make the subtrees differ, so
+    # exchange reuse cannot kick in).
+    tagged = events.filter(
+        F.col("event_type").isin(right_type, left_type)
+    ).select(
         "user_id",
         F.col("ts").cast("timestamp").alias("tts"),
-        F.lit(0).alias("tag"),
+        F.when(F.col("event_type") == right_type, 0).otherwise(1).alias("tag"),
         "event_id",
-        F.col("value").alias("r_value"),
-    ).unionByName(
-        events.filter(F.col("event_type") == left_type).select(
-            "user_id",
-            F.col("ts").cast("timestamp").alias("tts"),
-            F.lit(1).alias("tag"),
-            "event_id",
-            F.lit(None).cast("double").alias("r_value"),
-        )
+        F.when(F.col("event_type") == right_type, F.col("value"))
+        .cast("double")
+        .alias("r_value"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -149,19 +148,22 @@ def asof_join(
     )
     # exclude the current row from the carried payload via lag-of-running:
     # for a LEFT row the running last right payload over [start, current]
-    # IS the as-of match (current row contributes nulls)
-    joined = (
-        tagged.withColumn(
-            "prior_event_id", F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True).over(w)
-        )
-        .withColumn(
-            "prior_ts", F.last(F.when(F.col("tag") == 0, F.col("tts")), ignorenulls=True).over(w)
-        )
-        .withColumn(
-            "prior_value", F.last(F.when(F.col("tag") == 0, F.col("r_value")), ignorenulls=True).over(w)
-        )
-        .filter(F.col("tag") == 1)
-    )
+    # IS the as-of match (current row contributes nulls). All three
+    # running-last expressions sit in ONE select so they collapse into a
+    # single Window operator (three separate withColumns planned three) —
+    # per-column IGNORE NULLS semantics identical to the oracle.
+    joined = tagged.select(
+        "*",
+        F.last(
+            F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w).alias("prior_event_id"),
+        F.last(
+            F.when(F.col("tag") == 0, F.col("tts")), ignorenulls=True
+        ).over(w).alias("prior_ts"),
+        F.last(
+            F.when(F.col("tag") == 0, F.col("r_value")), ignorenulls=True
+        ).over(w).alias("prior_value"),
+    ).filter(F.col("tag") == 1)
     return joined.select(
         "event_id",
         "user_id",

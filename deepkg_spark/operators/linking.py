@@ -61,10 +61,17 @@ _BM25_CACHES: list[DataFrame] = []
 
 
 def release_bm25_caches() -> None:
-    """Unpersist the postings/doclen pair cached by the most recent
-    bm25_topn call (cleanup handle for callers that own the lifecycle)."""
+    """Unpersist the postings/doclen/classes frames cached by the most
+    recent bm25_topn call (cleanup handle for callers that own the
+    lifecycle). Frames whose owning SparkSession has already been stopped
+    are simply dropped — unpersisting through a dead context raises, and
+    a stopped session's cache is gone anyway."""
     while _BM25_CACHES:
-        _BM25_CACHES.pop().unpersist()
+        df = _BM25_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — dead session: cache already freed
+            pass
 
 
 # ---------------------------------------------------------------- exact
@@ -198,7 +205,11 @@ def bm25_topn(
         .withColumn(
             "dl", F.expr("CAST(aggregate(sig, 0L, (a, x) -> a + x.tf) AS DOUBLE)")
         )
+        # consumed twice (postings explode + the post-agg meta join): persist
+        # with the same lifecycle as postings/doclen
+        .persist()
     )
+    _BM25_CACHES.append(classes)
     class_post = classes.select(
         "class_id", "n_members", "first_ids", "dl", F.explode("sig").alias("p")
     ).select(
@@ -210,8 +221,15 @@ def bm25_topn(
         F.col("p.tf").alias("tf"),
     )
 
+    # score rows carry ONLY (qid, class_id, part_score) through the qid
+    # shuffle: n_members/first_ids are functionally dependent on class_id,
+    # so they re-attach afterwards via a broadcast join against the tiny
+    # class table. Carrying them through the aggregation as first()
+    # aggregates forced a SortAggregate (first over an array type is not
+    # hash-aggregable) — sum-only keeps the agg a HashAggregate and drops
+    # the per-row array payload from the exchange.
     scored_cls = (
-        q_tok.join(_bcast(class_post), "term")
+        q_tok.join(_bcast(class_post.select("class_id", "dl", "term", "tf")), "term")
         .join(_bcast(idf), "term")
         .withColumn(
             "part_score",
@@ -224,10 +242,10 @@ def bm25_topn(
         # aggregations and the window below
         .repartition(F.col("qid"))
         .groupBy("qid", "class_id")
-        .agg(
-            F.round(F.sum("part_score"), ROUND).alias("score"),
-            F.first("n_members").alias("n_members"),
-            F.first("first_ids").alias("first_ids"),
+        .agg(F.round(F.sum("part_score"), ROUND).alias("score"))
+        .join(
+            F.broadcast(classes.select("class_id", "n_members", "first_ids")),
+            "class_id",
         )
     )
     # classes with different signatures can tie on the rounded score, and the
@@ -469,9 +487,11 @@ def dense_topk_udf(queries: DataFrame, candidates: DataFrame, k: int = 5) -> Dat
     held in RAM, simcse_unsup.py:44-53): one narrow mapInPandas stage; each
     Arrow batch does ONE [batch, dim] @ [dim, n_cand] GEMM + argpartition.
     """
-    cand_rows = candidates.select("cid", "cvec").collect()
-    cids = np.array([r["cid"] for r in cand_rows])
-    mat = np.array([r["cvec"] for r in cand_rows], dtype=np.float64).T  # [dim, n]
+    # Arrow-path collect (toPandas) — the row-based collect() deserialized
+    # every vector element through Py4J pickling
+    cand_pdf = candidates.select("cid", "cvec").toPandas()
+    cids = cand_pdf["cid"].to_numpy()
+    mat = np.stack(cand_pdf["cvec"].to_numpy()).astype(np.float64).T  # [dim, n]
     spark = queries.sparkSession
     b_cids = spark.sparkContext.broadcast(cids)
     b_mat = spark.sparkContext.broadcast(mat)

@@ -182,20 +182,30 @@ FROM {docs_rel}
 def fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     """(doc_id, fp): winnowing fingerprints — min shingle-hash per sliding
     window of w consecutive k-shingles, deduplicated. A pair of documents
-    sharing content longer than k+w-1 tokens shares at least one fingerprint."""
-    sh = docs.select(
+    sharing content longer than k+w-1 tokens shares at least one fingerprint.
+
+    Computed entirely per document as array expressions (hash each shingle,
+    array_min over each length-w slice, array_distinct, one explode) — the
+    sliding window and the dedup are both doc-local, so the former
+    explode -> per-doc window -> global DISTINCT plan (two exchanges of
+    every (doc_id, pos, hash) row) collapses to a ZERO-shuffle narrow map.
+    Identical row set: slice() truncates at the array end exactly like the
+    window frame's `CURRENT ROW AND w-1 FOLLOWING`, and DISTINCT(doc_id, fp)
+    == per-doc array_distinct because doc_id is part of the key."""
+    toks = spark_tokens("text")
+    # bind the hash array to a column FIRST: inlining it into the sliding
+    # lambda would re-evaluate the md5 transform per window position
+    t = docs.select(
         "doc_id",
-        F.posexplode(F.expr(spark_ngrams(spark_tokens("text"), k))).alias("pos", "sh"),
-    ).withColumn("h", F.expr(spark_h32("sh")))
-    sh.createOrReplaceTempView("_fp_sh")
-    return sh.sparkSession.sql(
-        f"""
-SELECT DISTINCT doc_id,
-       min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
-FROM _fp_sh
-"""
+        F.expr(f"transform({spark_ngrams(toks, k)}, s -> {spark_h32('s')})").alias("hs"),
     )
+    fps = (
+        f"CASE WHEN size(hs) >= 1 THEN "
+        f"array_distinct(transform(sequence(1, size(hs)), "
+        f"i -> array_min(slice(hs, i, {w})))) "
+        f"ELSE array() END"
+    )
+    return t.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
 
 
 def fingerprints_duck_sql(docs_rel: str, k: int = 3, w: int = 4) -> str:
@@ -277,14 +287,18 @@ def top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
     occ = docs.select(
         "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("term")
     )
-    tf = occ.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    df_ = (
-        occ.select("term", "doc_id").distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    )
+    # one tokenize pass and two stacked aggregations: tf == sum of per-doc
+    # counts, df == number of (term, doc) groups — identical to the former
+    # separate tf / distinct-df branches, without the second explode of the
+    # corpus or the tf-df join (explode once, 3 exchanges + join -> 2
+    # exchanges, no join)
+    per_doc = occ.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     return (
-        tf.join(df_, "term")
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("c").cast("bigint").alias("tf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
         .orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(k)
     )

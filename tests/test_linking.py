@@ -223,12 +223,14 @@ def test_bm25_cache_scoped_to_most_recent_call(spark, sf_dir):
     first = bm25_topn(q, d, topn=3)
     assert first.count() > 0
     after_one = n_persistent()
-    assert len(_BM25_CACHES) == 2
+    # postings, doclen, classes (the score-equivalence class table joined
+    # back after the qid aggregation)
+    assert len(_BM25_CACHES) == 3
     for _ in range(3):
         assert bm25_topn(q, d, topn=3).count() > 0
     # the persisted-RDD count must not grow with call count
     assert n_persistent() <= after_one
-    assert len(_BM25_CACHES) == 2
+    assert len(_BM25_CACHES) == 3
     release_bm25_caches()
     assert len(_BM25_CACHES) == 0
     assert n_persistent() <= base + (after_one - base)  # nothing new leaked
