@@ -642,45 +642,88 @@ def profile_quantiles(
     (val) counts (partial-aggregable, skew-safe: hot values collapse to one
     row) -> cumulative counts over DISTINCT values -> each quantile p reads
     the two bracketing values at continuous index p*(n-1) and interpolates.
-    For columns with billions of distinct values, swap to approx_percentile
-    (t-digest) — here it stays exact so the DuckDB twin (same formulation)
-    matches bit-for-bit.
 
     Plan shape: one INDEPENDENT branch per column, unioned at the end.
     Each branch prunes the scan to its single column (total I/O equals one
     multi-column scan), aggregates on a bare double key (no per-row string
     tag, no 8x explode), and the branches run concurrently — on a single
     input file whose row-group count caps row-parallelism, column-parallel
-    branches still fill the cluster. (The former single-melt formulation
-    additionally planned its subtree twice for a tot-join and
-    sort-merge-joined on the column name.)
+    branches still fill the cluster.
 
-    The cumulative window funnels one column's distinct values through one
-    task — the same bound as the previous partition-by-col_name plan, and
-    the reason the billions-distinct regime belongs to approx_percentile.
-    n == max(cum) == sum(c) over the whole partition: phrased as the
-    whole-partition sum so BOTH window expressions sit in one select and
-    compile to a single Window operator (two frames, one sort, one pass)
-    instead of two stacked Window operators. (A two-stage Arrow variant —
-    per-partition np.unique runs merged in one Python task — was measured
-    2-4x SLOWER than this JVM window at sf1.0; see OPTIMIZATION_r06.md.)
+    The cumulative count is a DISTRIBUTED prefix sum, not a single-task
+    window: values map to one of B ordered range buckets via a
+    deterministic min/max linear rule (subtraction, positive scaling and
+    floor are all IEEE-monotone, so bucket order == value order at every
+    cluster size); each bucket's local running count is a window
+    partitioned BY BUCKET, and the global cum adds the bucket's offset —
+    the running total of WHOLE lower buckets, a broadcast-joined window
+    over at most B rows. Counts are longs throughout, so cum/n are exact
+    integers and the result is bit-identical to the former
+    one-task-per-column formulation (verified row-identical at
+    sf0.01/0.1/1.0). The min/max pre-pass is ONE aggregate job for all
+    columns. Degenerate cases keep a correct (single-bucket) plan:
+    constant or non-finite-range columns use bucket 0, NaNs always land
+    in a trailing bucket of their own, and an all-NULL column emits no
+    row (original semantics). For columns whose distinct values all share
+    one bucket the branch degrades to the single-task bound — the regime
+    that belongs to approx_percentile (t-digest) anyway; here it stays
+    exact so the DuckDB twin (same formulation) matches bit-for-bit.
     """
+    import math
+
     from pyspark.sql import Window
 
+    B = 1024
+    mm = df.agg(
+        *[
+            F.min(F.expr(f"CAST({c} AS DOUBLE)")).alias(f"mn_{i}")
+            for i, c in enumerate(num_cols)
+        ],
+        *[
+            F.max(F.expr(f"CAST({c} AS DOUBLE)")).alias(f"mx_{i}")
+            for i, c in enumerate(num_cols)
+        ],
+    ).collect()[0]
+
     outs = []
-    for c in num_cols:
+    for i, c in enumerate(num_cols):
+        mn, mx = mm[f"mn_{i}"], mm[f"mx_{i}"]
+        if mn is None:
+            continue  # no non-null values -> no output row
         vals = df.selectExpr(f"CAST({c} AS DOUBLE) AS val").filter(
             F.col("val").isNotNull()
         )
-        cnt = vals.groupBy("val").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy(F.lit(0)).orderBy("val")
-        j = cnt.select(
+        spread = (
+            mn is not None
+            and math.isfinite(mn)
+            and mx is not None
+            and math.isfinite(mx)
+            and mx > mn
+        )
+        if spread:
+            bucket = F.when(F.isnan("val"), F.lit(B)).otherwise(
+                F.least(
+                    F.floor((F.col("val") - F.lit(mn)) / F.lit(mx - mn) * B),
+                    F.lit(B - 1),
+                )
+            ).cast("int")
+        else:
+            bucket = F.when(F.isnan("val"), F.lit(1)).otherwise(F.lit(0)).cast("int")
+        vb = vals.select("val", bucket.alias("bucket"))
+        cntb = vb.groupBy("bucket", "val").agg(F.count(F.lit(1)).alias("c"))
+        btot = vb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bc"))
+        wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        boff = btot.select(
+            "bucket",
+            F.coalesce(F.sum("bc").over(wo), F.lit(0)).alias("off"),
+            F.sum("bc").over(Window.partitionBy(F.lit(0))).cast("bigint").alias("n"),
+        )
+        wl = Window.partitionBy("bucket").orderBy("val")
+        j = cntb.join(F.broadcast(boff), "bucket").select(
             "val",
             "c",
-            F.sum("c").over(w).alias("cum"),
-            F.sum("c").over(Window.partitionBy(F.lit(0)))
-            .cast("bigint")
-            .alias("n"),
+            (F.col("off") + F.sum("c").over(wl)).alias("cum"),
+            "n",
         )
         aggs = [F.max("n").cast("bigint").alias("n")]
         for p in qs:
@@ -701,6 +744,10 @@ def profile_quantiles(
             .where(F.col("n").isNotNull())
             .select(F.lit(c).alias("col_name"), "*")
         )
+    if not outs:
+        schema = ("col_name string, n bigint, "
+                  + ", ".join(f"q_{str(p).replace('0.', '')} double" for p in qs))
+        return df.sparkSession.createDataFrame([], schema)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
