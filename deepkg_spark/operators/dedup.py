@@ -54,28 +54,6 @@ SIMHASH_BAND_BITS = 15     # 4 bands x 15 bits -> 32,768 keys per band
 SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 ROUND = 6
 
-# The multi-consumer dedup operators (minhash LSH, simhash pairs, exact
-# substring) persist intermediate frames. The persisted frames are
-# registered here and released on the NEXT dedup-operator call (or
-# explicitly via release_dedup_caches), so a long-lived session calling
-# these repeatedly holds at most one call's caches instead of leaking one
-# set per call — the same lifecycle linking._BM25_CACHES uses.
-# Unpersisting is always safe for correctness: Spark recomputes from
-# lineage if a caller still holds an unmaterialized earlier result.
-_DEDUP_CACHES: list[DataFrame] = []
-
-
-def release_dedup_caches() -> None:
-    """Unpersist frames cached by the most recent dedup-operator call.
-    Frames whose owning SparkSession has been stopped are dropped silently
-    (their cache is gone anyway)."""
-    while _DEDUP_CACHES:
-        df = _DEDUP_CACHES.pop()
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — dead session: cache already freed
-            pass
-
 
 # ---------------------------------------------------------------- exact
 
@@ -159,10 +137,8 @@ def minhash_lsh_pairs(
     # SAME persisted shingle frame feeds the signature computation too —
     # previously the tokenize+shingle+distinct pass (the dominant narrow
     # stage) ran once for the signatures and again for the verify join.
-    release_dedup_caches()
     sh = _shingles(docs, n).persist()
     sig = minhash_signatures(docs, n, shingles=sh).persist()
-    _DEDUP_CACHES.extend((sh, sig))
     band_structs = ", ".join(
         f"struct({b} AS band_id, {key} AS band_key)"
         for b, key in enumerate(_band_key_exprs())
@@ -310,9 +286,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         f"{SIMHASH_BANDS} bands only guarantee recall for hamming <= "
         f"{SIMHASH_BANDS - 1}"
     )
-    release_dedup_caches()
     sig = simhash(docs).persist()
-    _DEDUP_CACHES.append(sig)
     band_structs = ", ".join(
         f"struct({b} AS band_id, shiftright(simhash, {b * SIMHASH_BAND_BITS}) "
         f"& {(1 << SIMHASH_BAND_BITS) - 1} AS band_key)"
@@ -586,9 +560,7 @@ def substring_spans(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     # win feeds both the occurrence count and the join back: persist it, or
     # the tokenize + window-explode (the most expensive narrow stage of the
     # query) runs twice — same discipline as minhash_lsh_pairs above
-    release_dedup_caches()
     win = win.persist()
-    _DEDUP_CACHES.append(win)
     dup_gh = win.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     dup = win.join(dup_gh.select("gh"), "gh").select("doc_id", "pos")
     per_doc = Window.partitionBy("doc_id").orderBy("pos")
