@@ -50,14 +50,19 @@ EPSILON = 0.25  # rank_bm25 Okapi negative-idf correction factor
 BROADCAST_DICT_MAX = 1_000_000
 ROUND = 6
 
-# bm25_topn persists its dictionary-derived postings/doclen frames (they feed
-# doclen, df, scalar stats AND the scoring join). The persisted pair is
-# registered here and released on the NEXT bm25_topn call (or explicitly via
-# release_bm25_caches), so a long-lived session calling bm25_topn repeatedly
-# holds at most one cached pair instead of leaking one per call. Unpersisting
-# is always safe for correctness — Spark recomputes from lineage if a caller
-# still holds an unmaterialized earlier result.
+# bm25_topn persists its dictionary-derived postings/doclen/classes frames
+# (they feed doclen, df, scalar stats AND the scoring join). The persisted
+# set is registered here and released when a LATER bm25_topn call sees a
+# DIFFERENT dictionary plan (or explicitly via release_bm25_caches), so a
+# long-lived session holds at most one call's caches instead of leaking one
+# set per call — while repeated calls over the SAME dictionary
+# (DataFrame.sameSemantics) reuse the already-built index instead of
+# re-tokenizing it, the exact behavior the persisted shingle/signature
+# frames in dedup.py get from Spark's CacheManager plan deduplication.
+# Unpersisting is always safe for correctness — Spark recomputes from
+# lineage if a caller still holds an unmaterialized earlier result.
 _BM25_CACHES: list[DataFrame] = []
+_BM25_KEY: dict = {}
 
 
 def release_bm25_caches() -> None:
@@ -66,6 +71,7 @@ def release_bm25_caches() -> None:
     lifecycle). Frames whose owning SparkSession has already been stopped
     are simply dropped — unpersisting through a dead context raises, and
     a stopped session's cache is gone anyway."""
+    _BM25_KEY.clear()
     while _BM25_CACHES:
         df = _BM25_CACHES.pop()
         try:
@@ -132,33 +138,87 @@ def bm25_topn(
     # postings feed doclen, df, and the scoring join, plus the scalar stats:
     # persist once instead of re-tokenizing the dictionary five times (the
     # reference pickles these same stats, BM25_Model.py:88-130); scope the
-    # pair to "most recent call" so repeated calls don't accumulate caches
-    release_bm25_caches()
-    postings = (
-        d_tok.groupBy("term_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    )
-    doclen = postings.groupBy("term_id").agg(F.sum("tf").alias("dl")).persist()
-    _BM25_CACHES.extend((postings, doclen))
-
-    # all three driver-side scalars (n_docs, avgdl, avg_idf) in ONE action:
-    # three 1-row aggregates cross-joined into a single 1-row plan — one job
-    # instead of three round-trips per call
-    nd = dictionary.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    ad = doclen.agg(F.avg("dl").alias("avgdl"))
-    ai = (
-        postings.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(nd))
-        .agg(
-            F.avg(
-                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            ).alias("avg_idf")
+    # set to "most recent dictionary" so repeated calls don't accumulate
+    # caches, but calls over the SAME dictionary plan (sameSemantics) and
+    # topn reuse the built index + scalar stats instead of rebuilding them
+    reuse = False
+    if _BM25_KEY:
+        try:
+            reuse = _BM25_KEY["topn"] == topn and _BM25_KEY["d_tok"].sameSemantics(d_tok)
+        except Exception:  # noqa: BLE001 — e.g. frames from a stopped session
+            reuse = False
+    if reuse:
+        postings, doclen, classes = _BM25_KEY["frames"]
+        n_docs, avgdl, avg_idf = _BM25_KEY["stats"]
+    else:
+        release_bm25_caches()
+        postings = (
+            d_tok.groupBy("term_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
         )
-    )
-    stats = nd.crossJoin(ad).crossJoin(ai).collect()[0]
-    n_docs = float(stats["n_docs"])
-    avgdl = float(stats["avgdl"])
-    avg_idf = float(stats["avg_idf"])
+        doclen = postings.groupBy("term_id").agg(F.sum("tf").alias("dl")).persist()
+        _BM25_CACHES.extend((postings, doclen))
+
+        # all three driver-side scalars (n_docs, avgdl, avg_idf) in ONE
+        # action: three 1-row aggregates cross-joined into a single 1-row
+        # plan — one job instead of three round-trips per call
+        nd = dictionary.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        ad = doclen.agg(F.avg("dl").alias("avgdl"))
+        ai = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(nd))
+            .agg(
+                F.avg(
+                    F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                ).alias("avg_idf")
+            )
+        )
+        stats = nd.crossJoin(ad).crossJoin(ai).collect()[0]
+        n_docs = float(stats["n_docs"])
+        avgdl = float(stats["avgdl"])
+        avg_idf = float(stats["avg_idf"])
+
+        # ---- score-equivalence class compression -------------------------
+        # Docs with identical (term, tf) multisets receive identical BM25
+        # scores for EVERY query (dl is determined by the multiset), so
+        # score classes, not docs: the (query x doc) pair explosion becomes
+        # (query x class), and only the winning classes are expanded back to
+        # doc ids. On a dictionary with near-unique token multisets this
+        # degenerates to one class per doc (the original plan plus one cheap
+        # dictionary-side groupBy); on repetitive dictionaries it removes
+        # orders of magnitude of shuffle (sf0.1 part table: 20k entries ->
+        # 136 classes, 9.9M scored pairs -> ~70k). Top-N results are
+        # bit-identical to doc-at-a-time scoring.
+        doc_sig = postings.groupBy("term_id").agg(
+            F.sort_array(F.collect_list(F.struct("term", "tf"))).alias("sig")
+        )
+        classes = (
+            doc_sig.groupBy("sig")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                # per-class topn smallest doc ids: enough to expand any rank
+                # prefix
+                F.slice(F.sort_array(F.collect_list("term_id")), 1, topn).alias(
+                    "first_ids"
+                ),
+            )
+            .withColumn(
+                "class_id", F.element_at("first_ids", 1)
+            )
+            .withColumn(
+                "dl", F.expr("CAST(aggregate(sig, 0L, (a, x) -> a + x.tf) AS DOUBLE)")
+            )
+            # consumed twice (postings explode + the post-agg meta join):
+            # persist with the same lifecycle as postings/doclen
+            .persist()
+        )
+        _BM25_CACHES.append(classes)
+        _BM25_KEY.update(
+            d_tok=d_tok,
+            topn=topn,
+            frames=(postings, doclen, classes),
+            stats=(n_docs, avgdl, avg_idf),
+        )
 
     # broadcast the dictionary-derived sides only while they plausibly fit an
     # executor (docstring's scale design: a huge dictionary must fall back to
@@ -177,39 +237,6 @@ def bm25_topn(
         ),
     ).select("term", "idf")
 
-    # ---- score-equivalence class compression -----------------------------
-    # Docs with identical (term, tf) multisets receive identical BM25 scores
-    # for EVERY query (dl is determined by the multiset), so score classes,
-    # not docs: the (query x doc) pair explosion becomes (query x class), and
-    # only the winning classes are expanded back to doc ids. On a dictionary
-    # with near-unique token multisets this degenerates to one class per doc
-    # (the original plan plus one cheap dictionary-side groupBy); on
-    # repetitive dictionaries it removes orders of magnitude of shuffle
-    # (sf0.1 part table: 20k entries -> 136 classes, 9.9M scored pairs ->
-    # ~70k). Top-N results are bit-identical to doc-at-a-time scoring.
-    doc_sig = postings.groupBy("term_id").agg(
-        F.sort_array(F.collect_list(F.struct("term", "tf"))).alias("sig")
-    )
-    classes = (
-        doc_sig.groupBy("sig")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            # per-class topn smallest doc ids: enough to expand any rank prefix
-            F.slice(F.sort_array(F.collect_list("term_id")), 1, topn).alias(
-                "first_ids"
-            ),
-        )
-        .withColumn(
-            "class_id", F.element_at("first_ids", 1)
-        )
-        .withColumn(
-            "dl", F.expr("CAST(aggregate(sig, 0L, (a, x) -> a + x.tf) AS DOUBLE)")
-        )
-        # consumed twice (postings explode + the post-agg meta join): persist
-        # with the same lifecycle as postings/doclen
-        .persist()
-    )
-    _BM25_CACHES.append(classes)
     class_post = classes.select(
         "class_id", "n_members", "first_ids", "dl", F.explode("sig").alias("p")
     ).select(
