@@ -529,7 +529,7 @@ def dense_topk_udf(queries: DataFrame, candidates: DataFrame, k: int = 5) -> Dat
         for pdf in batches:
             if pdf.empty:
                 continue
-            q = np.array(list(pdf["qvec"]), dtype=np.float64)  # [b, dim]
+            q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)  # [b, dim]
             scores = np.round(q @ mat_l, ROUND)  # [b, n]
             out = {"qid": [], "cid": [], "score": [], "rank": []}
             for row_i in range(scores.shape[0]):
